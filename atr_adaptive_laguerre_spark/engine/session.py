@@ -1,0 +1,49 @@
+"""SparkSession builder tuned for this engine.
+
+Scale rationale (100 TB / 1000-executor target; tested on local[N]):
+
+* AQE on — runtime coalescing of shuffle partitions and skew-join
+  splitting cover the relational layer; the per-entity kernel layer
+  handles its own skew (see ``engine.partitioning``).
+* Arrow enabled with a bounded ``maxRecordsPerBatch`` — the kernel's
+  memory is proportional to (docs per batch) x (max doc length); doc-grain
+  rows are wide (the tokens array), so small record batches keep the
+  Python worker's resident set flat.
+* ``spark.sql.files.maxPartitionBytes`` left at default 128 MB: input
+  bytes are proportional to total tokens, which is proportional to kernel
+  work, so byte-based file splits are already work-balanced.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(app: str = "atr-adaptive-laguerre-spark",
+                  master: str | None = None,
+                  shuffle_partitions: int | None = None,
+                  extra: dict[str, str] | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(cpus * 2, 8)
+    b = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.pyspark.selfDestruct.enabled",
+                "true")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,274 @@
+"""Lockstep-batched core kernel.
+
+Computes the C1-C8 recurrence (see ``reference_impl``) for a *batch* of
+entities at once on padded ``(B, T)`` float64 matrices: vectorized across
+the batch axis everywhere, sequential only along the time axis where the
+math is irreducibly sequential (the incremental ATR sum and the Laguerre
+cascade).  This is the "no per-row Python" production kernel that runs
+inside Arrow-batched pandas UDFs (``mapInPandas`` / ``applyInPandas``).
+
+Bit-exactness: every float64 operation is applied in the same order as the
+per-entity oracle (``reference_impl.core_loop``), so results are identical
+to the last bit — verified by tests.
+
+Memory discipline: fresh large allocations are ~15x slower than writes to
+already-mapped pages on virtualized hosts (page-fault bound), so all large
+intermediates live in a per-process :class:`Workspace` that is allocated
+once and reused across kernel calls (Spark reuses Python workers across
+tasks, so the cost amortizes to zero).  Every elementwise step uses
+``out=`` into workspace views; the only fresh allocations are the returned
+output arrays themselves.
+
+Reference semantics: ``/root/reference/src/atr_adaptive_laguerre/core/_numba_kernel.py:14-166``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from atr_adaptive_laguerre_spark.kernel.reference_impl import CORE_OUTPUTS
+
+__all__ = ["core_loop_batched", "pad_sequences", "CORE_OUTPUTS", "Workspace"]
+
+#: default workspace capacity in float64 cells (docs x padded length)
+DEFAULT_CELLS = 2_097_152
+
+# names of the (B, T) float64 slabs the kernel needs; outputs are a subset
+_SLABS = (
+    "high", "low", "close", "tr", "s", "mean", "atr", "min_atr", "max_atr",
+    "coeff", "gamma", "L0", "L1", "L2", "L3", "cu", "cd", "rsi", "scratch",
+)
+
+
+class Workspace:
+    """Preallocated flat buffers reshaped per chunk; one per process."""
+
+    def __init__(self, cells: int = DEFAULT_CELLS):
+        self.cells = cells
+        self._flat = {n: np.empty(cells, dtype=np.float64) for n in _SLABS}
+        # state vectors sized to the max plausible batch width
+        self._vec = np.empty(8 * 65536, dtype=np.float64)
+
+    def grow(self, cells: int) -> None:
+        if cells > self.cells:
+            self.cells = cells
+            self._flat = {n: np.empty(cells, dtype=np.float64)
+                          for n in _SLABS}
+
+    def view(self, name: str, b: int, t: int) -> np.ndarray:
+        return self._flat[name][: b * t].reshape(b, t)
+
+    def vec(self, i: int, b: int) -> np.ndarray:
+        return self._vec[i * b: (i + 1) * b]
+
+
+_WS: Workspace | None = None
+
+
+def get_workspace(cells: int = DEFAULT_CELLS) -> Workspace:
+    global _WS
+    if _WS is None:
+        _WS = Workspace(cells)
+    else:
+        _WS.grow(cells)
+    return _WS
+
+
+def pad_sequences(seqs: list[np.ndarray], dtype=np.float64
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Stack variable-length 1-D arrays into a zero-padded (B, T) matrix.
+
+    Returns (matrix, lengths).
+    """
+    lengths = np.fromiter((len(s) for s in seqs), dtype=np.int64,
+                          count=len(seqs))
+    t_max = int(lengths.max()) if len(seqs) else 0
+    out = np.zeros((len(seqs), t_max), dtype=dtype)
+    for b, s in enumerate(seqs):
+        out[b, : lengths[b]] = s
+    return out, lengths
+
+
+def _true_range(high, low, close, out):
+    """C1 — vectorized true range. First bar: high-low; later bars:
+    ``max(high, prev_close) - min(low, prev_close)``."""
+    np.subtract(high[:, 0], low[:, 0], out=out[:, 0])
+    if high.shape[1] > 1:
+        prev_c = close[:, :-1]
+        hi = np.maximum(high[:, 1:], prev_c, out=out[:, 1:])
+        # need a second buffer for the low side: reuse via subtract trick
+        # lo_side computed into a strided temp is unavoidable without a
+        # second slab; use where on the fly:
+        lo = np.minimum(low[:, 1:], prev_c)
+        np.subtract(hi, lo, out=out[:, 1:])
+    return out
+
+
+def _atr_incremental(tr, p, out, ws, b):
+    """C2 — ATR as the reference's *incremental* ring-buffer sum
+    (``tr_sum = (tr_sum + tr) - old_tr``), lockstep across the batch so
+    the float rounding matches the oracle exactly."""
+    t = tr.shape[1]
+    tr_sum = ws.vec(0, b)
+    tr_sum[:] = 0.0
+    for i in range(t):
+        if i < p:
+            tr_sum += tr[:, i]
+            np.divide(tr_sum, i + 1, out=out[:, i])
+        else:
+            tr_sum += tr[:, i]
+            tr_sum -= tr[:, i - p]
+            np.divide(tr_sum, p, out=out[:, i])
+    return out
+
+
+def _atr_minmax(tr, p, ws, b, t):
+    """C3 — min/max over the means of the k most-recent TRs, k=1..buf_len.
+
+    Vectorized as a k-loop (k = 2..p) of shifted in-place adds on (B, T)
+    slabs: ``suffix_sum_k[i] = suffix_sum_{k-1}[i] + tr[i-k+1]``, the same
+    accumulation order as the oracle's newest-to-oldest running sum.
+    Positions with fewer than k bars don't participate at that k (matching
+    buf_len = min(bars_seen, p)).  Row 0: min = max = atr == tr[0].
+    """
+    s = ws.view("s", b, t)
+    mean = ws.view("mean", b, t)
+    min_atr = ws.view("min_atr", b, t)
+    max_atr = ws.view("max_atr", b, t)
+    np.copyto(s, tr)
+    np.copyto(min_atr, tr)                 # k=1 mean == tr
+    np.copyto(max_atr, tr)
+    for k in range(2, p + 1):
+        if k - 1 >= t:
+            break
+        sk = s[:, k - 1:]
+        sk += tr[:, : t - k + 1]
+        mk = mean[:, k - 1:]
+        np.divide(sk, k, out=mk)
+        np.minimum(min_atr[:, k - 1:], mk, out=min_atr[:, k - 1:])
+        np.maximum(max_atr[:, k - 1:], mk, out=max_atr[:, k - 1:])
+    return min_atr, max_atr
+
+
+def _laguerre_cascade(close, gamma, ws, b, t):
+    """C6 — 4-stage cascade with time-varying gamma, zero-initialized state
+    (matches the production numba kernel, which never calls
+    ``initialize(price)``; see reference ``_numba_kernel.py:60-132``)."""
+    L0 = ws.view("L0", b, t)
+    L1 = ws.view("L1", b, t)
+    L2 = ws.view("L2", b, t)
+    L3 = ws.view("L3", b, t)
+    l0 = ws.vec(0, b); l0[:] = 0.0
+    l1 = ws.vec(1, b); l1[:] = 0.0
+    l2 = ws.vec(2, b); l2[:] = 0.0
+    l3 = ws.vec(3, b); l3[:] = 0.0
+    p0 = ws.vec(4, b)
+    p1 = ws.vec(5, b)
+    p2 = ws.vec(6, b)
+    tmp = ws.vec(7, b)
+    for i in range(t):
+        c = close[:, i]
+        g = gamma[:, i]
+        np.copyto(p0, l0)
+        np.copyto(p1, l1)
+        np.copyto(p2, l2)
+        # l0 = c + g*(l0 - c)
+        np.subtract(l0, c, out=tmp); np.multiply(tmp, g, out=tmp)
+        np.add(c, tmp, out=l0)
+        # l1 = p0 + g*(l1 - l0)
+        np.subtract(l1, l0, out=tmp); np.multiply(tmp, g, out=tmp)
+        np.add(p0, tmp, out=l1)
+        np.subtract(l2, l1, out=tmp); np.multiply(tmp, g, out=tmp)
+        np.add(p1, tmp, out=l2)
+        np.subtract(l3, l2, out=tmp); np.multiply(tmp, g, out=tmp)
+        np.add(p2, tmp, out=l3)
+        L0[:, i] = l0
+        L1[:, i] = l1
+        L2[:, i] = l2
+        L3[:, i] = l3
+    return L0, L1, L2, L3
+
+
+def core_loop_batched(high: np.ndarray, low: np.ndarray, close: np.ndarray,
+                      atr_period: int, adaptive_offset: float = 0.75,
+                      copy_out: bool = True,
+                      ) -> dict[str, np.ndarray]:
+    """Batched C1-C8 over padded (B, T) matrices.
+
+    Values at columns beyond an entity's true length are garbage (callers
+    mask by length).  Returns a dict of (B, T) float64 arrays keyed by
+    :data:`CORE_OUTPUTS`.  With ``copy_out=False`` the returned arrays are
+    views into the shared workspace — valid only until the next call.
+    """
+    b, t = high.shape
+    p = int(atr_period)
+    ws = get_workspace(max(DEFAULT_CELLS, b * t))
+
+    hw = ws.view("high", b, t); np.copyto(hw, high, casting="unsafe")
+    lw = ws.view("low", b, t); np.copyto(lw, low, casting="unsafe")
+    cw = ws.view("close", b, t); np.copyto(cw, close, casting="unsafe")
+
+    tr = _true_range(hw, lw, cw, ws.view("tr", b, t))
+    atr = _atr_incremental(tr, p, ws.view("atr", b, t), ws, b)
+    min_atr, max_atr = _atr_minmax(tr, p, ws, b, t)
+
+    # C4 adaptive coefficient (reference core/adaptive.py:4-44):
+    # _max = max(max_atr, atr); _min = min(min_atr, atr);
+    # degenerate (_min == _max) -> 0.5 else 1 - (atr-_min)/(_max-_min)
+    _max = ws.view("scratch", b, t)
+    np.maximum(max_atr, atr, out=_max)
+    _min = ws.view("mean", b, t)               # mean slab free after C3
+    np.minimum(min_atr, atr, out=_min)
+    coeff = ws.view("coeff", b, t)
+    span = ws.view("s", b, t)                  # s slab free after C3
+    np.subtract(_max, _min, out=span)
+    degenerate = span == 0.0                   # small bool alloc (1 byte/cell)
+    span[degenerate] = 1.0
+    np.subtract(atr, _min, out=coeff)
+    np.divide(coeff, span, out=coeff)
+    np.subtract(1.0, coeff, out=coeff)
+    coeff[degenerate] = 0.5
+
+    # C5 adaptive period & gamma: gamma = 1 - 10/(p*(coeff+offset) + 9)
+    gamma = ws.view("gamma", b, t)
+    np.add(coeff, adaptive_offset, out=gamma)
+    gamma *= float(p)
+    gamma += 9.0
+    np.divide(10.0, gamma, out=gamma)
+    np.subtract(1.0, gamma, out=gamma)
+
+    # C6 cascade
+    L0, L1, L2, L3 = _laguerre_cascade(cw, gamma, ws, b, t)
+
+    # C7 RSI: additions in the oracle's order (L0/L1, then L1/L2, then
+    # L2/L3); cu += max(d,0) and cd += max(-d,0) reproduce the branch.
+    cu = ws.view("cu", b, t)
+    cd = ws.view("cd", b, t)
+    d = ws.view("scratch", b, t)
+    np.subtract(L0, L1, out=d)
+    np.maximum(d, 0.0, out=cu)
+    np.negative(d, out=d); np.maximum(d, 0.0, out=cd)
+    np.subtract(L1, L2, out=d)
+    tmp = ws.view("s", b, t)
+    np.maximum(d, 0.0, out=tmp); cu += tmp
+    np.negative(d, out=d); np.maximum(d, 0.0, out=tmp); cd += tmp
+    np.subtract(L2, L3, out=d)
+    np.maximum(d, 0.0, out=tmp); cu += tmp
+    np.negative(d, out=d); np.maximum(d, 0.0, out=tmp); cd += tmp
+
+    rsi = ws.view("rsi", b, t)
+    tot = ws.view("mean", b, t)
+    np.add(cu, cd, out=tot)
+    flat = tot == 0.0
+    tot[flat] = 1.0
+    np.divide(cu, tot, out=rsi)
+    rsi[flat] = 0.0
+
+    out = {
+        "rsi": rsi, "adaptive_coeff": coeff, "gamma": gamma,
+        "L0": L0, "L1": L1, "L2": L2, "L3": L3,
+        "min_atr": min_atr, "max_atr": max_atr, "atr": atr,
+    }
+    if copy_out:
+        out = {k: v.copy() for k, v in out.items()}
+    return out

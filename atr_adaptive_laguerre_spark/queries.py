@@ -1,0 +1,481 @@
+"""Driver-facing query catalog.
+
+Each entry pairs a Spark DataFrame program with an ANSI-SQL twin that
+DuckDB runs on the same parquet tables (the driver's correctness gate).
+Queries are grouped by the SURVEY §2 operator family they demonstrate.
+
+Conventions keeping the value-hash comparison stable across engines:
+
+* every computed column is aliased identically on both sides;
+* floating aggregates are rounded to 6 decimals on both sides;
+* timestamps returned to the driver are converted to epoch microseconds
+  (bigint) on both sides;
+* deterministic ORDER BY on both sides (driver sorts anyway; belt and
+  braces).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from atr_adaptive_laguerre_spark.config import FeatureConfig
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r6(col):
+    """Quantize a double to 6 decimals with *identical IEEE ops* in both
+    engines: floor(x*1e6 + 0.5)/1e6.  Unlike round(), whose decimal-tie
+    handling differs between Spark and DuckDB, this sequence is plain
+    binary float math and therefore bit-identical across engines.
+    (SQL twin: FLOOR(x * 1000000 + 0.5) / 1000000.)"""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def _us(col):
+    """Epoch microseconds of a TIMESTAMP_NTZ column, timezone-independent
+    (parquet timestamp[us] loads as NTZ in Spark 4).
+    SQL twin: epoch_us(ts)."""
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), col)
+
+
+# ---------------------------------------------------------------------------
+# flagship: tokenized documents -> core RSI features (kernel path; rows-only)
+# ---------------------------------------------------------------------------
+
+def q_core_rsi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize documents Spark-natively, run the per-entity recurrence
+    kernel, return long-form features. Non-SQL-expressible (sequential
+    Laguerre recurrence) -> no oracle; covered by the pytest parity suite."""
+    from atr_adaptive_laguerre_spark.engine.features_job import core_features_long
+    from atr_adaptive_laguerre_spark.engine.tokens import tokenize_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = tokenize_documents(docs)
+    return core_features_long(tok, FeatureConfig(atr_period=14))
+
+
+# ---------------------------------------------------------------------------
+# relational / aggregation layer (SURVEY §2.6, §2.7)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style grouped aggregation with filter pushdown."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(_r6(F.sum("l_quantity")).alias("sum_qty"),
+                 _r6(F.sum("l_extendedprice")).alias("sum_base_price"),
+                 _r6(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+                 _r6(F.avg("l_quantity")).alias("avg_qty"),
+                 _r6(F.avg("l_discount")).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       FLOOR((SUM(l_quantity)) * 1000000 + 0.5) / 1000000                          AS sum_qty,
+       FLOOR((SUM(l_extendedprice)) * 1000000 + 0.5) / 1000000                     AS sum_base_price,
+       FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 1000000 + 0.5) / 1000000  AS sum_disc_price,
+       FLOOR((AVG(l_quantity)) * 1000000 + 0.5) / 1000000                          AS avg_qty,
+       FLOOR((AVG(l_discount)) * 1000000 + 0.5) / 1000000                          AS avg_disc,
+       COUNT(*)                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join with broadcast dimensions (region/nation/customer)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (orders
+            .join(F.broadcast(cust),
+                  orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation),
+                  cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region),
+                  nation.n_regionkey == region.r_regionkey)
+            .groupBy(F.col("r_name").alias("region_name"),
+                     F.col("n_name").alias("nation_name"))
+            .agg(_r6(F.sum("o_totalprice")).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders"))
+            .orderBy("region_name", "nation_name"))
+
+
+ORACLE_STAR_JOIN_REVENUE = """
+SELECT r_name AS region_name, n_name AS nation_name,
+       FLOOR((SUM(o_totalprice)) * 1000000 + 0.5) / 1000000 AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY region_name, nation_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# lag/lead & window layer (SURVEY §2.4 A4)
+# ---------------------------------------------------------------------------
+
+def q_events_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.select(
+        "event_id", "user_id",
+        _us(F.col("ts")).alias("ts_us"),
+        _r6(F.col("value")).alias("value"),
+        _r6(F.lag("value", 1).over(w)).alias("value_lag1"),
+        _r6(F.lag("value", 5).over(w)).alias("value_lag5"),
+        _r6(F.lead("value", 1).over(w)).alias("value_lead1"),
+        _r6(F.col("value") - F.coalesce(F.lag("value", 1).over(w),
+                                        F.first("value").over(w)))
+        .alias("value_change_1"))
+        .orderBy("event_id"))
+
+
+ORACLE_EVENTS_LAG_LEAD = """
+SELECT event_id, user_id,
+       epoch_us(ts) AS ts_us,
+       FLOOR((value) * 1000000 + 0.5) / 1000000 AS value,
+       FLOOR((LAG(value, 1) OVER w) * 1000000 + 0.5) / 1000000  AS value_lag1,
+       FLOOR((LAG(value, 5) OVER w) * 1000000 + 0.5) / 1000000  AS value_lag5,
+       FLOOR((LEAD(value, 1) OVER w) * 1000000 + 0.5) / 1000000 AS value_lead1,
+       FLOOR((value - COALESCE(LAG(value, 1) OVER w,
+                              FIRST_VALUE(value) OVER w)) * 1000000 + 0.5) / 1000000 AS value_change_1
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
+def q_events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling mean/std/min/max over the last 20 events per user — the
+    Spark-native form of F6 (reference feature_expander.py:339-383),
+    including the std==0 -> 1 z-score guard and min_periods gate."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-19, 0))
+    std = F.stddev_samp("value").over(w)
+    std_safe = F.when(F.coalesce(std, F.lit(0.0)) == 0.0, 1.0).otherwise(std)
+    mean = F.avg("value").over(w)
+    return (ev.select(
+        "event_id", "user_id",
+        _r6(mean).alias("roll_mean_20"),
+        _r6(F.coalesce(std, F.lit(0.0))).alias("roll_std_20"),
+        _r6(F.max("value").over(w) - F.min("value").over(w)).alias("roll_range_20"),
+        _r6((F.col("value") - mean) / std_safe).alias("roll_zscore_20"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"))
+        .orderBy("event_id"))
+
+
+ORACLE_EVENTS_ROLLING_STATS = """
+SELECT event_id, user_id,
+       FLOOR((AVG(value) OVER w) * 1000000 + 0.5) / 1000000 AS roll_mean_20,
+       FLOOR((COALESCE(STDDEV_SAMP(value) OVER w, 0)) * 1000000 + 0.5) / 1000000 AS roll_std_20,
+       FLOOR((MAX(value) OVER w - MIN(value) OVER w) * 1000000 + 0.5) / 1000000 AS roll_range_20,
+       FLOOR(((value - AVG(value) OVER w)
+             / (CASE WHEN COALESCE(STDDEV_SAMP(value) OVER w, 0) = 0
+                     THEN 1 ELSE STDDEV_SAMP(value) OVER w END)) * 1000000 + 0.5) / 1000000
+           AS roll_zscore_20,
+       COUNT(*) OVER w AS n_in_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+def q_true_range_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+C2 expressed Spark-natively on a per-user price proxy:
+    TR = max(high, prev_close) - min(low, prev_close) (first bar high-low),
+    ATR = mean of TR over last 14 rows (warm-up denominator = rows so far,
+    which a bounded-window AVG gives for free).  Reference
+    core/true_range.py:22-52, core/atr.py:31-62."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    watr = w.rowsBetween(-13, 0)
+    close = F.col("value")
+    high = F.col("value") * 1.01
+    low = F.col("value") * 0.99
+    prev_close = F.lag(close).over(w)
+    tr = F.when(prev_close.isNull(), high - low).otherwise(
+        F.greatest(high, prev_close) - F.least(low, prev_close))
+    ev2 = ev.select("event_id", "user_id", "ts", tr.alias("tr"))
+    return (ev2.select(
+        "event_id", "user_id",
+        _r6(F.col("tr")).alias("true_range"),
+        _r6(F.avg("tr").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(-13, 0))).alias("atr_14"))
+        .orderBy("event_id"))
+
+
+ORACLE_TRUE_RANGE_ATR = """
+WITH pr AS (
+  SELECT event_id, user_id, ts,
+         value * 1.01 AS high, value * 0.99 AS low, value AS close,
+         LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_close
+  FROM events
+), tr AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN prev_close IS NULL THEN high - low
+              ELSE GREATEST(high, prev_close) - LEAST(low, prev_close)
+         END AS tr
+  FROM pr
+)
+SELECT event_id, user_id,
+       FLOOR((tr) * 1000000 + 0.5) / 1000000 AS true_range,
+       FLOOR((AVG(tr) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) * 1000000 + 0.5) / 1000000
+           AS atr_14
+FROM tr
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# sessionization (SURVEY §2.5 R3) and as-of join (§2.4 A1/A2)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to the
+    previous event of the same user exceeds 30 minutes."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = _us(F.col("ts")) - _us(F.lag("ts").over(w))
+    new_sess = F.when(gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60_000_000),
+                      1).otherwise(0)
+    ev2 = ev.withColumn("new_sess", new_sess)
+    sess_id = F.sum("new_sess").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0))
+    return (ev2.select("event_id", "user_id",
+                       sess_id.cast("bigint").alias("session_id"))
+            .orderBy("event_id"))
+
+
+ORACLE_EVENTS_SESSIONIZE = f"""
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                   > {SESSION_GAP_MIN} * 60000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+FROM g
+ORDER BY event_id
+"""
+
+
+def q_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time as-of join: for each event, the latest order of the
+    same customer with o_orderdate <= ts (non-strict).  Implemented
+    Spark-natively with the union+window trick (no per-row Python):
+    union both sides on a common time axis, then last(order value,
+    ignorenulls) over (key ORDER BY time, is_event) — the as-of match.
+    Oracle: DuckDB's native ASOF JOIN.  SURVEY §2.4 A1."""
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+
+    left = ev.select(F.col("user_id").alias("k"),
+                     _us(F.col("ts")).alias("t"),
+                     F.lit(1).alias("is_event"),
+                     "event_id",
+                     F.lit(None).cast("bigint").alias("o_orderkey_r"),
+                     F.lit(None).cast("double").alias("o_totalprice_r"))
+    right = orders.select(F.col("o_custkey").alias("k"),
+                          _us(F.col("o_orderdate")).alias("t"),
+                          F.lit(0).alias("is_event"),
+                          F.lit(None).cast("bigint").alias("event_id"),
+                          F.col("o_orderkey").alias("o_orderkey_r"),
+                          F.col("o_totalprice").alias("o_totalprice_r"))
+    unioned = left.unionByName(right)
+    # order: time asc, right-side rows before events at equal time
+    # (is_event=0 sorts first) => events at t match orders with t' <= t.
+    # Tie-break equal-time orders by o_orderkey so the "latest" is
+    # deterministic: take the max orderkey among equal times.
+    w = (Window.partitionBy("k")
+         .orderBy("t", "is_event", F.col("o_orderkey_r").asc_nulls_last())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    matched = unioned.select(
+        "k", "t", "is_event", "event_id",
+        F.last("o_orderkey_r", ignorenulls=True).over(w).alias("last_orderkey"),
+        F.last("o_totalprice_r", ignorenulls=True).over(w).alias("last_totalprice"),
+    ).filter(F.col("is_event") == 1)
+    return (matched.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("last_orderkey").alias("o_orderkey"),
+        _r6(F.col("last_totalprice")).alias("o_totalprice"))
+        .orderBy("event_id"))
+
+
+ORACLE_ASOF_JOIN_ORDERS = """
+WITH o AS (
+  -- dedupe equal (custkey, orderdate) pairs to the max orderkey so the
+  -- as-of match is deterministic, mirroring the Spark tie-break
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders
+  GROUP BY o_custkey, o_orderdate
+), o2 AS (
+  SELECT o.o_custkey, o.o_orderdate, o.o_orderkey, orders.o_totalprice
+  FROM o JOIN orders USING (o_orderkey)
+)
+SELECT e.event_id, e.user_id,
+       o2.o_orderkey,
+       FLOOR((o2.o_totalprice) * 1000000 + 0.5) / 1000000 AS o_totalprice
+FROM events e
+ASOF LEFT JOIN o2
+  ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate
+ORDER BY e.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# resampling (SURVEY §2.5 R1/R2)
+# ---------------------------------------------------------------------------
+
+def q_resample_ohlcv_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window OHLCV resample of the per-user value stream:
+    open=first, high=max, low=min, close=last, volume=count.  Epoch-anchored
+    1h windows (same binning as pandas resample on aligned grids);
+    min_by/max_by give deterministic first/last.  Reference
+    multi_interval.py:165-225 (R1)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.floor(_us(F.col("ts")) / F.lit(3_600_000_000))
+              .alias("hour_bucket"))
+    return (ev.groupBy("user_id", bucket)
+            .agg(_r6(F.min_by("value", F.struct(F.col("ts"), F.col("event_id"))))
+                 .alias("open"),
+                 _r6(F.max("value")).alias("high"),
+                 _r6(F.min("value")).alias("low"),
+                 _r6(F.max_by("value", F.struct(F.col("ts"), F.col("event_id"))))
+                 .alias("close"),
+                 F.count(F.lit(1)).alias("n_bars"))
+            .orderBy("user_id", "hour_bucket"))
+
+
+ORACLE_RESAMPLE_OHLCV_1H = """
+WITH t AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bucket,
+         value,
+         ROW_NUMBER() OVER (PARTITION BY user_id,
+                            FLOOR(epoch_us(ts) / 3600000000)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY user_id,
+                            FLOOR(epoch_us(ts) / 3600000000)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT user_id, hour_bucket,
+       FLOOR((MAX(CASE WHEN rn_a = 1 THEN value END)) * 1000000 + 0.5) / 1000000 AS open,
+       FLOOR((MAX(value)) * 1000000 + 0.5) / 1000000 AS high,
+       FLOOR((MIN(value)) * 1000000 + 0.5) / 1000000 AS low,
+       FLOOR((MAX(CASE WHEN rn_d = 1 THEN value END)) * 1000000 + 0.5) / 1000000 AS close,
+       COUNT(*) AS n_bars
+FROM t
+GROUP BY user_id, hour_bucket
+ORDER BY user_id, hour_bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# backfill / forward-fill (SURVEY §2.4 A1/A3)
+# ---------------------------------------------------------------------------
+
+def q_events_ffill_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill a sparse column (value only on 'purchase' events) to
+    all events of the user, then backfill leading nulls — the A1+A3
+    alignment pair (reference multi_interval.py:227-255,
+    atr_adaptive_rsi.py:1045-1049)."""
+    ev = _t(spark, sf_dir, "events")
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    wf = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wb = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(0, Window.unboundedFollowing))
+    ff = F.last(sparse, ignorenulls=True).over(wf)
+    filled = F.coalesce(ff, F.first(sparse, ignorenulls=True).over(wb))
+    return (ev.select("event_id", "user_id",
+                      _r6(ff).alias("purchase_ffill"),
+                      _r6(filled).alias("purchase_filled"))
+            .orderBy("event_id"))
+
+
+ORACLE_EVENTS_FFILL_BFILL = """
+WITH s AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'purchase' THEN value END AS sparse
+  FROM events
+)
+SELECT event_id, user_id,
+       FLOOR((LAST_VALUE(sparse IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000 + 0.5) / 1000000
+           AS purchase_ffill,
+       FLOOR((COALESCE(
+             LAST_VALUE(sparse IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             FIRST_VALUE(sparse IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))) * 1000000 + 0.5) / 1000000
+           AS purchase_filled
+FROM s
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "core_rsi_features": q_core_rsi_features,
+    "pricing_summary": q_pricing_summary,
+    "star_join_revenue": q_star_join_revenue,
+    "events_lag_lead": q_events_lag_lead,
+    "events_rolling_stats": q_events_rolling_stats,
+    "true_range_atr": q_true_range_atr,
+    "events_sessionize": q_events_sessionize,
+    "asof_join_orders": q_asof_join_orders,
+    "resample_ohlcv_1h": q_resample_ohlcv_1h,
+    "events_ffill_bfill": q_events_ffill_bfill,
+}
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "star_join_revenue": ORACLE_STAR_JOIN_REVENUE,
+    "events_lag_lead": ORACLE_EVENTS_LAG_LEAD,
+    "events_rolling_stats": ORACLE_EVENTS_ROLLING_STATS,
+    "true_range_atr": ORACLE_TRUE_RANGE_ATR,
+    "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
+    "asof_join_orders": ORACLE_ASOF_JOIN_ORDERS,
+    "resample_ohlcv_1h": ORACLE_RESAMPLE_OHLCV_1H,
+    "events_ffill_bfill": ORACLE_EVENTS_FFILL_BFILL,
+}

@@ -1,0 +1,116 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+The flagship measure is the per-entity kernel over a deterministic
+synthetic token corpus (input_hint shape) sized to the scale factor;
+relational/window/as-of queries run on the driver's testdata tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache")
+
+# bench-corpus sizing: ~58k tokens per doc-count unit; sf0.1 -> 8k docs,
+# ~4.6M tokens (comparable work to the sf0.1 relational tables)
+DOCS_PER_SF = 80_000
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def _corpus_path(n_docs: int) -> str:
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"tokens_{n_docs}.parquet")
+    if not os.path.exists(path):
+        from atr_adaptive_laguerre_spark.data.corpus import write_corpus_parquet
+
+        write_corpus_parquet(path, n_docs=n_docs, seed=42)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    n_docs = max(200, int(DOCS_PER_SF * sf))
+
+    from pyspark.sql import functions as F
+
+    from atr_adaptive_laguerre_spark.config import FeatureConfig
+    from atr_adaptive_laguerre_spark.engine.features_job import (
+        core_features_long,
+    )
+    from atr_adaptive_laguerre_spark.engine.session import build_session
+    from atr_adaptive_laguerre_spark.queries import QUERIES
+
+    corpus = _corpus_path(n_docs)
+    spark = build_session(app="bench", master=f"local[{cpus}]",
+                          shuffle_partitions=max(2 * cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # warm up JVM + Python workers (excluded from timings)
+    spark.range(1000).select(F.sum("id")).collect()
+
+    # ---- flagship: kernel over the token corpus ----
+    doc_df = spark.read.parquet(corpus)
+    n_seq = doc_df.count()
+    n_tok_total = doc_df.agg(F.sum("n_tok")).collect()[0][0]
+    cfg = FeatureConfig(atr_period=14)
+    t0 = time.time()
+    feats = core_features_long(doc_df, cfg, num_partitions=cpus * 3)
+    agg = feats.agg(F.count(F.lit(1)).alias("rows"),
+                    F.sum("rsi").alias("rsi_sum")).collect()[0]
+    dt = time.time() - t0
+    assert agg["rows"] == n_tok_total, (agg["rows"], n_tok_total)
+    timings["core_rsi_kernel"] = round(dt, 3)
+    extras["sequences_per_sec"] = round(n_seq / dt, 1)
+    extras["tokens_per_sec"] = round(n_tok_total / dt, 1)
+    extras["n_sequences"] = n_seq
+    extras["n_tokens"] = int(n_tok_total)
+
+    # ---- catalog queries on the sf tables ----
+    bench_queries = [
+        "pricing_summary", "star_join_revenue", "events_lag_lead",
+        "events_rolling_stats", "true_range_atr", "events_sessionize",
+        "asof_join_orders", "resample_ohlcv_1h", "events_ffill_bfill",
+    ]
+    for name in bench_queries:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # force full computation without driver materialization cost
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline suite wall time (kernel + operator queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extras,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
