@@ -36,6 +36,11 @@ class FeatureConfig:
     filter_redundancy: bool = True
     stats_window: int = 20
     velocity_span: int = 5
+    #: multi-interval alignment mode: when True, higher-grain features are
+    #: aligned by the strict point-in-time rule on a per-row availability
+    #: timestamp (reference availability_column semantics) instead of the
+    #: positional reindex+ffill of the reference's default path
+    availability: bool = False
 
     def __post_init__(self) -> None:
         if self.atr_period < 1:

@@ -131,6 +131,27 @@ def tokens_to_ohlcv(tokens: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndar
     return high, low, close
 
 
+def tokens_to_availability(tokens: np.ndarray) -> np.ndarray:
+    """Deterministic monotonic availability timestamps for a token
+    sequence: bar i (at synthetic time i) becomes available at
+    ``i + 1 + jitter(token[i])`` with jitter in [0, 1) — i.e. each bar
+    arrives with a sub-bar delay, and availability is strictly increasing
+    (consecutive diffs are in (0, 2)).  Mirrors the reference's
+    ``actual_ready_time`` model (``availability_column``,
+    ``atr_adaptive_rsi.py:97-106``; delay-stress semantics
+    ``tests/test_temporal/test_availability_stress.py``)."""
+    t = np.asarray(tokens, dtype=np.int64)
+    jitter = ((t * 2654435761) % 1000).astype(np.float64) / 1001.0
+    return np.arange(len(t), dtype=np.float64) + 1.0 + jitter
+
+
+def tokens_to_availability_batched(tok_mat: np.ndarray) -> np.ndarray:
+    """Batched variant over a padded (B, T) int matrix; axis-1 grid."""
+    t = np.asarray(tok_mat, dtype=np.int64)
+    jitter = ((t * 2654435761) % 1000).astype(np.float64) / 1001.0
+    return np.arange(t.shape[1], dtype=np.float64)[None, :] + 1.0 + jitter
+
+
 def tokens_to_ohlcv_batched(tok_mat: np.ndarray
                             ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Batched variant over a zero-padded (B, T) int matrix; same math as

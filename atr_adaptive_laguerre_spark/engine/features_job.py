@@ -43,7 +43,7 @@ from atr_adaptive_laguerre_spark.kernel.reference_impl import CORE_OUTPUTS
 
 #: cap on padded cells (docs x max_len) per kernel invocation; bounds the
 #: Python worker's peak memory independent of Arrow batch sizing.
-CELL_BUDGET = 2_000_000
+CELL_BUDGET = 262_144
 
 CORE_LONG_SCHEMA = (
     "source string, doc_id string, offset int, token int, "
@@ -193,6 +193,174 @@ def core_features_from_long(long_df: DataFrame,
 
     return (long_df.groupBy("source", "doc_id")
             .applyInPandas(run, schema=CORE_LONG_SCHEMA))
+
+
+def feature_columns_for(cfg: FeatureConfig) -> list[str]:
+    """Output feature columns for a config (43 / 169 / 121)."""
+    from atr_adaptive_laguerre_spark.kernel.expander_ref import FEATURE_COLUMNS
+    from atr_adaptive_laguerre_spark.kernel.multi_interval_ref import (
+        multi_interval_columns,
+    )
+
+    if cfg.is_multi_interval:
+        return multi_interval_columns(cfg.filter_redundancy)
+    return list(FEATURE_COLUMNS)
+
+
+def features_long_schema(cfg: FeatureConfig) -> str:
+    return ("source string, doc_id string, offset int, token int, "
+            + ", ".join(f"{c} double" for c in feature_columns_for(cfg)))
+
+
+def _features_on_docs(pdf: pd.DataFrame, cfg: FeatureConfig,
+                      cell_budget: int = CELL_BUDGET,
+                      ) -> Iterator[pd.DataFrame]:
+    """Full feature pipeline (43 or 169/121 cols) over a doc batch."""
+    from atr_adaptive_laguerre_spark.kernel.multi_interval_batched import (
+        multi_interval_long, single_interval_long,
+    )
+
+    if len(pdf) == 0:
+        return
+    toks = [np.asarray(t, dtype=np.int32) for t in pdf["tokens"]]
+    lengths = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                          count=len(toks))
+    from atr_adaptive_laguerre_spark.data.corpus import (
+        tokens_to_availability_batched,
+    )
+
+    for idx in _length_chunks(lengths, cell_budget):
+        chunk_toks = [toks[i] for i in idx]
+        mat, lens = pad_sequences(chunk_toks, dtype=np.int64)
+        high, low, close = tokens_to_ohlcv_batched(mat)
+        if cfg.is_multi_interval:
+            avail = (tokens_to_availability_batched(mat)
+                     if cfg.availability else None)
+            cols = multi_interval_long(high, low, close, lens, cfg,
+                                       avail=avail)
+        else:
+            cols = single_interval_long(high, low, close, lens, cfg)
+        src = pdf["source"].to_numpy()[idx]
+        did = pdf["doc_id"].to_numpy()[idx]
+        offsets = np.concatenate(
+            [np.arange(n, dtype=np.int32) for n in lens])
+        yield pd.DataFrame({
+            "source": np.repeat(src, lens),
+            "doc_id": np.repeat(did, lens),
+            "offset": offsets,
+            "token": np.concatenate(chunk_toks),
+            **cols,
+        })
+
+
+def _arrow_doc_chunks(rb, cell_budget: int = CELL_BUDGET):
+    """Parse a doc-grain Arrow RecordBatch and yield padding-efficient
+    chunks: (doc_row_idx, chunk_flat_tokens, lengths, padded_int64_matrix).
+
+    Zero pandas involvement: token values come straight out of the Arrow
+    list buffer; the padded matrix is one vectorized scatter.
+    """
+    import pyarrow.compute as pc
+
+    tokens = rb.column(rb.schema.get_field_index("tokens"))
+    lengths = pc.list_value_length(tokens).to_numpy().astype(np.int64)
+    flat = tokens.flatten().to_numpy(zero_copy_only=False)
+    starts = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=starts[1:])
+    for idx in _length_chunks(lengths, cell_budget):
+        lens = lengths[idx]
+        gidx = np.concatenate(
+            [np.arange(starts[i], starts[i] + lengths[i]) for i in idx])
+        chunk_flat = flat[gidx]
+        t_max = int(lens.max()) if len(lens) else 0
+        mat = _padded_int_buffer(len(idx), t_max)
+        fe = _flat_explode_idx_local(lens, t_max)
+        mat.ravel()[fe] = chunk_flat
+        yield idx, chunk_flat, lens, mat, fe
+
+
+_PAD_INT: dict[str, np.ndarray | None] = {"buf": None}
+
+
+def _padded_int_buffer(b: int, t: int) -> np.ndarray:
+    """Reusable int64 padded-token buffer (fresh big allocations are
+    page-fault bound on virtualized hosts; see kernel.batched)."""
+    need = b * t
+    buf = _PAD_INT["buf"]
+    if buf is None or buf.size < need:
+        buf = _PAD_INT["buf"] = np.empty(max(need, CELL_BUDGET),
+                                         dtype=np.int64)
+    return buf[:need].reshape(b, t)
+
+
+def _flat_explode_idx_local(lengths: np.ndarray, t: int) -> np.ndarray:
+    from atr_adaptive_laguerre_spark.kernel.multi_interval_batched import (
+        _flat_explode_idx,
+    )
+
+    return _flat_explode_idx(lengths, t)
+
+
+def features_long(doc_df: DataFrame, cfg: FeatureConfig | None = None,
+                  num_partitions: int | None = None) -> DataFrame:
+    """Doc-grain input -> long-form full feature matrix.
+
+    43 columns single-interval; 169/121 multi-interval (resample, align,
+    cross-interval interactions, redundancy filter — all inside the one
+    Arrow kernel, mirroring the reference's in-process fusion).  Zero
+    shuffle unless ``num_partitions`` forces a spread.
+
+    Physical path: ``mapInArrow`` — token values are read straight from
+    the Arrow list buffers and every output column is built zero-copy
+    from the kernel's NumPy arrays (no pandas block consolidation, which
+    would copy the whole 121-column matrix once more).
+    """
+    import pyarrow as pa
+
+    cfg = cfg or FeatureConfig()
+    if num_partitions:
+        doc_df = doc_df.repartition(num_partitions)
+    schema = features_long_schema(cfg)
+    feat_cols = feature_columns_for(cfg)
+
+    def run(batches):
+        import pyarrow.compute as pc
+
+        from atr_adaptive_laguerre_spark.kernel.multi_interval_batched import (
+            multi_interval_long, single_interval_long,
+        )
+
+        from atr_adaptive_laguerre_spark.data.corpus import (
+            tokens_to_availability_batched,
+        )
+
+        for rb in batches:
+            src_col = rb.column(rb.schema.get_field_index("source"))
+            did_col = rb.column(rb.schema.get_field_index("doc_id"))
+            for idx, chunk_flat, lens, mat, _fe in _arrow_doc_chunks(rb):
+                high, low, close = tokens_to_ohlcv_batched(mat)
+                if cfg.is_multi_interval:
+                    avail = (tokens_to_availability_batched(mat)
+                             if cfg.availability else None)
+                    cols = multi_interval_long(high, low, close, lens, cfg,
+                                               avail=avail)
+                else:
+                    cols = single_interval_long(high, low, close, lens, cfg)
+                rep = pa.array(np.repeat(idx.astype(np.int64), lens))
+                offsets = np.concatenate(
+                    [np.arange(n, dtype=np.int32) for n in lens])
+                arrays = [
+                    pc.take(src_col, rep),
+                    pc.take(did_col, rep),
+                    pa.array(offsets),
+                    pa.array(chunk_flat.astype(np.int32, copy=False)),
+                ]
+                arrays += [pa.array(cols[c]) for c in feat_cols]
+                yield pa.RecordBatch.from_arrays(
+                    arrays,
+                    ["source", "doc_id", "offset", "token"] + feat_cols)
+
+    return doc_df.mapInArrow(run, schema=schema)
 
 
 def explode_tokens(doc_df: DataFrame) -> DataFrame:

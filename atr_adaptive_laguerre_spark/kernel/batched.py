@@ -31,7 +31,7 @@ from atr_adaptive_laguerre_spark.kernel.reference_impl import CORE_OUTPUTS
 __all__ = ["core_loop_batched", "pad_sequences", "CORE_OUTPUTS", "Workspace"]
 
 #: default workspace capacity in float64 cells (docs x padded length)
-DEFAULT_CELLS = 2_097_152
+DEFAULT_CELLS = 262_144
 
 # names of the (B, T) float64 slabs the kernel needs; outputs are a subset
 _SLABS = (
@@ -41,22 +41,32 @@ _SLABS = (
 
 
 class Workspace:
-    """Preallocated flat buffers reshaped per chunk; one per process."""
+    """Preallocated flat buffers reshaped per chunk; one per process.
+
+    Slabs are created on first use by name and kept for the life of the
+    process (Spark reuses Python workers, so the page-fault cost of the
+    first allocation amortizes across all subsequent tasks).
+    """
 
     def __init__(self, cells: int = DEFAULT_CELLS):
         self.cells = cells
-        self._flat = {n: np.empty(cells, dtype=np.float64) for n in _SLABS}
+        self._flat: dict[str, np.ndarray] = {}
+        for n in _SLABS:
+            self._flat[n] = np.empty(cells, dtype=np.float64)
         # state vectors sized to the max plausible batch width
         self._vec = np.empty(8 * 65536, dtype=np.float64)
 
     def grow(self, cells: int) -> None:
         if cells > self.cells:
             self.cells = cells
-            self._flat = {n: np.empty(cells, dtype=np.float64)
-                          for n in _SLABS}
+            for n in list(self._flat):
+                self._flat[n] = np.empty(cells, dtype=np.float64)
 
     def view(self, name: str, b: int, t: int) -> np.ndarray:
-        return self._flat[name][: b * t].reshape(b, t)
+        buf = self._flat.get(name)
+        if buf is None:
+            buf = self._flat[name] = np.empty(self.cells, dtype=np.float64)
+        return buf[: b * t].reshape(b, t)
 
     def vec(self, i: int, b: int) -> np.ndarray:
         return self._vec[i * b: (i + 1) * b]

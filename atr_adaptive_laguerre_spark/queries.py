@@ -61,6 +61,31 @@ def q_core_rsi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core_features_long(tok, FeatureConfig(atr_period=14))
 
 
+def q_features_43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 43-column single-interval feature expansion (F1-F12) over the
+    tokenized documents. Rows-only check; parity vs the pandas oracle is
+    covered by tests/test_expander.py + tests/test_spark_features.py."""
+    from atr_adaptive_laguerre_spark.engine.features_job import features_long
+    from atr_adaptive_laguerre_spark.engine.tokens import tokenize_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return features_long(tokenize_documents(docs),
+                         FeatureConfig(atr_period=14))
+
+
+def q_features_121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 121-column multi-interval pipeline (resample x3, positional
+    ffill alignment, 40 cross-interval interactions, redundancy filter) —
+    the reference's fit_transform_features multi-interval branch."""
+    from atr_adaptive_laguerre_spark.engine.features_job import features_long
+    from atr_adaptive_laguerre_spark.engine.tokens import tokenize_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    cfg = FeatureConfig.multi_interval(multiplier_1=3, multiplier_2=12,
+                                       atr_period=14)
+    return features_long(tokenize_documents(docs), cfg)
+
+
 # ---------------------------------------------------------------------------
 # relational / aggregation layer (SURVEY §2.6, §2.7)
 # ---------------------------------------------------------------------------
@@ -457,6 +482,8 @@ ORDER BY event_id
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "core_rsi_features": q_core_rsi_features,
+    "features_43_single_interval": q_features_43,
+    "features_121_multi_interval": q_features_121,
     "pricing_summary": q_pricing_summary,
     "star_join_revenue": q_star_join_revenue,
     "events_lag_lead": q_events_lag_lead,
