@@ -1,0 +1,290 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four families, all Spark-native (higher-order functions + joins; no
+Python UDFs):
+
+* exact           — hash-groupBy on the normalized-content md5;
+* n-gram Jaccard  — shingle -> explode -> self-join -> |inter|/|union|;
+* MinHash + LSH   — K md5-derived minhashes, banded, bucket-join for
+  candidate pairs (the scale path: candidates without the quadratic join);
+* SimHash         — 16-bit sign-aggregated fingerprint + Hamming pairs.
+
+Determinism across engines: shingles are word 3-grams of the
+whitespace-normalized lowercase text; hash_k(s) = the first 15 hex chars
+of md5(s || '#' || k) read as a 60-bit integer (both engines compute md5
+identically; Spark ``conv(hex,16,10)`` == DuckDB ``('0x'||hex)::BIGINT``).
+
+At 100 TB: exact dedup is one shuffle on the content hash; LSH is
+explode (K rows/doc) + one shuffle on (band, bucket) — both linear, no
+cross join.  The quadratic Jaccard join exists as the verification path
+applied *after* LSH candidate generation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+NGRAM = 3
+MINHASH_K = 12
+LSH_BANDS = 4          # 4 bands x 3 rows
+JACCARD_THRESHOLD = 0.2
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _r6(col):
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def _words():
+    return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+
+
+def shingles_col(n: int = NGRAM):
+    """Word n-gram shingles as space-joined strings (distinct).  Docs with
+    fewer than n words yield an empty array (F.sequence would descend for
+    a negative stop, so gate it)."""
+    w = _words()
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]))
+    return F.when(F.size(w) >= n, F.array_distinct(sh)) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by normalized-content hash; emit each doc with
+    its canonical (minimum) doc_id and the duplicate-group size."""
+    docs = _docs(spark, sf_dir)
+    norm = F.concat_ws(" ", _words())
+    h = docs.select("doc_id", F.md5(norm).alias("chash"))
+    w = Window.partitionBy("chash")
+    return (h.select("doc_id", "chash",
+                     F.min("doc_id").over(w).alias("canonical_id"),
+                     F.count(F.lit(1)).over(w).alias("group_size"))
+            .withColumn("is_duplicate",
+                        (F.col("doc_id") != F.col("canonical_id"))
+                        .cast("int"))
+            .orderBy("doc_id"))
+
+
+ORACLE_DEDUP_EXACT = """
+WITH h AS (
+  SELECT doc_id,
+         md5(array_to_string(regexp_split_to_array(trim(lower(text)),
+             '\\s+'), ' ')) AS chash
+  FROM documents
+)
+SELECT doc_id, chash,
+       MIN(doc_id) OVER (PARTITION BY chash) AS canonical_id,
+       COUNT(*) OVER (PARTITION BY chash) AS group_size,
+       CAST(doc_id != MIN(doc_id) OVER (PARTITION BY chash) AS INT)
+         AS is_duplicate
+FROM h
+ORDER BY doc_id
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (a < b, jaccard >= 0.2):
+    explode shingles, self-join on shingle, |inter| from the join,
+    |union| = |A| + |B| - |inter|."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select("doc_id", shingles_col().alias("sh"))
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    jac = (inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+           .withColumn("jaccard", F.col("n_inter")
+                       / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))))
+    return (jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", "n_inter",
+                    _r6(F.col("jaccard")).alias("jaccard"))
+            .orderBy("doc_a", "doc_b"))
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+{NGRAM - 1}], ' ')
+                        for i in range(1, length(words) - {NGRAM - 2})])
+           AS shingles
+  FROM w
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, length(shingles) AS n_sh FROM sh
+)
+SELECT doc_a, doc_b, n_inter,
+       FLOOR((n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter))
+             * 1000000 + 0.5) / 1000000 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)
+      >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def _hash60(col, k: int):
+    """60-bit integer from md5(col || '#' || k) — engine-portable."""
+    return F.conv(F.substring(F.md5(F.concat(col, F.lit(f"#{k}"))), 1, 15),
+                  16, 10).cast("bigint")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: K=12 md5-derived minhashes per doc,
+    4 bands x 3 rows; docs sharing any band bucket are candidates.
+    Linear-cost candidate generation (no quadratic join)."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select("doc_id", F.explode(shingles_col()).alias("s"))
+    mh = sh.groupBy("doc_id").agg(
+        *[F.min(_hash60(F.col("s"), k)).alias(f"mh{k}")
+          for k in range(MINHASH_K)])
+    rows_per_band = MINHASH_K // LSH_BANDS
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"mh{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)]
+        bands.append(mh.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.md5(F.concat_ws("_", *cols)).alias("bucket")))
+    bb = bands[0]
+    for other in bands[1:]:
+        bb = bb.unionByName(other)
+    a = bb.alias("a")
+    b2 = bb.alias("b")
+    pairs = (a.join(b2, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+def _mh_sql_cols() -> str:
+    return ",\n         ".join(
+        f"MIN(('0x' || substr(md5(s || '#{k}'), 1, 15))::BIGINT) AS mh{k}"
+        for k in range(MINHASH_K))
+
+
+def _band_selects() -> str:
+    rows_per_band = MINHASH_K // LSH_BANDS
+    parts = []
+    for b in range(LSH_BANDS):
+        cols = " || '_' || ".join(
+            f"mh{b * rows_per_band + r}::VARCHAR"
+            for r in range(rows_per_band))
+        parts.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket "
+                     f"FROM mh")
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE_DEDUP_MINHASH_LSH = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(words[i:i+{NGRAM - 1}], ' ')
+                               for i in range(1, length(words) - {NGRAM - 2})]))
+           AS s
+  FROM w
+), mh AS (
+  SELECT doc_id,
+         {_mh_sql_cols()}
+  FROM sh
+  GROUP BY doc_id
+), bb AS (
+{_band_selects()}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bb a JOIN bb b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+SIMHASH_BITS = 16
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per doc: each distinct word votes +-1 per bit of its
+    60-bit hash; fingerprint bit = 1 iff the vote sum is positive."""
+    docs = _docs(spark, sf_dir)
+    wd = docs.select(
+        "doc_id", F.explode(F.array_distinct(_words())).alias("w"))
+    h = wd.select("doc_id", _hash60(F.col("w"), 0).alias("h"))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = h.groupBy("doc_id").agg(*votes)
+    sim = agg.select(
+        "doc_id",
+        sum((F.when(F.col(f"v{b}") > 0, 1).otherwise(0)
+             * F.lit(2 ** b)).cast("bigint")
+            for b in range(SIMHASH_BITS)).alias("simhash"))
+    return sim.orderBy("doc_id")
+
+
+def _simhash_sql() -> str:
+    votes = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN {2 ** b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS))
+    return votes
+
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(trim(lower(text)),
+                '\\s+'))) AS word
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(word || '#0'), 1, 15))::BIGINT AS h
+  FROM w
+)
+SELECT doc_id, CAST({_simhash_sql()} AS BIGINT) AS simhash
+FROM h
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
+    "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+}

@@ -1,0 +1,167 @@
+"""Text-analysis operators over the ``documents`` table.
+
+All JVM-side expressions (split / transform / filter / aggregate higher-
+order functions) — no Python in the hot path.  Cross-engine determinism:
+words come from ``\\s+`` splitting of trimmed text, hashes are md5 (both
+engines agree bit-for-bit on md5 of the same UTF-8 string).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: tiny English stopword list (top function words; includes the synthetic
+#: corpus's fillers) — heuristic lang/quality scoring only
+EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is",
+                "it", "that", "for", "on", "with", "as")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _r6(col):
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def words_col():
+    return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring: whitespace token count, mean word
+    length, stopword ratio, type-token ratio, and a composite quality
+    score — the text-quality operator family of a training-data pipeline."""
+    docs = _docs(spark, sf_dir)
+    w = words_col()
+    n = F.size(w)
+    sw_list = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(sw_list, x)))
+    total_chars = F.aggregate(
+        w, F.lit(0), lambda acc, x: acc + F.length(x))
+    n_distinct = F.size(F.array_distinct(w))
+    stop_ratio = n_stop.cast("double") / n
+    ttr = n_distinct.cast("double") / n
+    mean_wl = total_chars.cast("double") / n
+    quality = (F.least(n.cast("double") / 100.0, F.lit(1.0)) * 0.4
+               + stop_ratio * 0.3 + ttr * 0.3)
+    return (docs.select(
+        "doc_id",
+        n.alias("token_count"),
+        n_distinct.alias("distinct_tokens"),
+        _r6(mean_wl).alias("mean_word_len"),
+        _r6(stop_ratio).alias("stopword_ratio"),
+        _r6(ttr).alias("type_token_ratio"),
+        _r6(quality).alias("quality_score"))
+        .orderBy("doc_id"))
+
+
+def _sw_sql() -> str:
+    return "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
+
+
+ORACLE_TEXT_STATS = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+)
+SELECT doc_id,
+       length(words) AS token_count,
+       length(list_distinct(words)) AS distinct_tokens,
+       FLOOR((list_sum(list_transform(words, x -> length(x)))::DOUBLE
+              / length(words)) * 1000000 + 0.5) / 1000000 AS mean_word_len,
+       FLOOR((length(list_filter(words,
+              x -> list_contains({_sw_sql()}, x)))::DOUBLE
+              / length(words)) * 1000000 + 0.5) / 1000000 AS stopword_ratio,
+       FLOOR((length(list_distinct(words))::DOUBLE / length(words))
+             * 1000000 + 0.5) / 1000000 AS type_token_ratio,
+       FLOOR((LEAST(length(words)::DOUBLE / 100.0, 1.0) * 0.4
+              + (length(list_filter(words,
+                  x -> list_contains({_sw_sql()}, x)))::DOUBLE
+                 / length(words)) * 0.3
+              + (length(list_distinct(words))::DOUBLE / length(words)) * 0.3)
+             * 1000000 + 0.5) / 1000000 AS quality_score
+FROM w
+ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: English function-word ratio with a CJK
+    charset check — classify 'en' / 'cjk' / 'other'.  (The synthetic corpus
+    shares one vocabulary across langs, so this validates the computation,
+    not real-world accuracy.)"""
+    docs = _docs(spark, sf_dir)
+    w = words_col()
+    sw_list = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    stop_ratio = (F.size(F.filter(w, lambda x: F.array_contains(sw_list, x)))
+                  .cast("double") / F.size(w))
+    has_cjk = F.length(F.regexp_replace(F.col("text"),
+                                        r"[^一-鿿]", "")) > 0
+    guess = (F.when(has_cjk, "cjk")
+             .when(stop_ratio >= 0.05, "en")
+             .otherwise("other"))
+    return (docs.select("doc_id", "lang",
+                        _r6(stop_ratio).alias("en_stopword_ratio"),
+                        guess.alias("lang_guess"))
+            .orderBy("doc_id"))
+
+
+ORACLE_LANG_ID = f"""
+WITH w AS (
+  SELECT doc_id, lang, text,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         length(list_filter(words, x -> list_contains({_sw_sql()}, x)))::DOUBLE
+           / length(words) AS sr,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0
+           AS has_cjk
+  FROM w
+)
+SELECT doc_id, lang,
+       FLOOR(sr * 1000000 + 0.5) / 1000000 AS en_stopword_ratio,
+       CASE WHEN has_cjk THEN 'cjk'
+            WHEN sr >= 0.05 THEN 'en'
+            ELSE 'other' END AS lang_guess
+FROM r
+ORDER BY doc_id
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized lowercase
+    text (the canonical content hash used by exact dedup)."""
+    docs = _docs(spark, sf_dir)
+    norm = F.concat_ws(" ", words_col())
+    return (docs.select("doc_id",
+                        F.md5(norm).alias("fingerprint"),
+                        F.length(norm).alias("norm_len"))
+            .orderBy("doc_id"))
+
+
+ORACLE_DOC_FINGERPRINT = """
+WITH n AS (
+  SELECT doc_id,
+         array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         ' ') AS norm
+  FROM documents
+)
+SELECT doc_id, md5(norm) AS fingerprint, length(norm) AS norm_len
+FROM n
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+ORACLES = {
+    "text_stats": ORACLE_TEXT_STATS,
+    "lang_id": ORACLE_LANG_ID,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+}

@@ -495,6 +495,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ffill_bfill": q_events_ffill_bfill,
 }
 
+def _merge_operator_modules() -> None:
+    from atr_adaptive_laguerre_spark.operators import (
+        dedup, multimodal, similarity, text, validation,
+    )
+
+    for mod in (text, dedup, similarity, multimodal, validation):
+        QUERIES.update(mod.QUERIES)
+        ORACLES.update(mod.ORACLES)
+
+
 ORACLES: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "star_join_revenue": ORACLE_STAR_JOIN_REVENUE,
@@ -506,3 +516,6 @@ ORACLES: dict[str, str] = {
     "resample_ohlcv_1h": ORACLE_RESAMPLE_OHLCV_1H,
     "events_ffill_bfill": ORACLE_EVENTS_FFILL_BFILL,
 }
+
+
+_merge_operator_modules()
