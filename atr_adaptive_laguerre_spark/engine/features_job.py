@@ -333,7 +333,9 @@ def features_long(doc_df: DataFrame, cfg: FeatureConfig | None = None,
         from atr_adaptive_laguerre_spark.data.corpus import (
             tokens_to_availability_batched,
         )
+        from atr_adaptive_laguerre_spark.kernel.batched import get_out_pool
 
+        pool = get_out_pool()
         for rb in batches:
             src_col = rb.column(rb.schema.get_field_index("source"))
             did_col = rb.column(rb.schema.get_field_index("doc_id"))
@@ -343,9 +345,10 @@ def features_long(doc_df: DataFrame, cfg: FeatureConfig | None = None,
                     avail = (tokens_to_availability_batched(mat)
                              if cfg.availability else None)
                     cols = multi_interval_long(high, low, close, lens, cfg,
-                                               avail=avail)
+                                               avail=avail, pool=pool)
                 else:
-                    cols = single_interval_long(high, low, close, lens, cfg)
+                    cols = single_interval_long(high, low, close, lens, cfg,
+                                                pool=pool)
                 rep = pa.array(np.repeat(idx.astype(np.int64), lens))
                 offsets = np.concatenate(
                     [np.arange(n, dtype=np.int32) for n in lens])
@@ -361,6 +364,66 @@ def features_long(doc_df: DataFrame, cfg: FeatureConfig | None = None,
                     ["source", "doc_id", "offset", "token"] + feat_cols)
 
     return doc_df.mapInArrow(run, schema=schema)
+
+
+def core_features_from_long_sorted(long_df: DataFrame,
+                                   cfg: FeatureConfig | None = None,
+                                   num_partitions: int = 32) -> DataFrame:
+    """Long-form input -> long-form core features via the
+    **partition-sorted batched** path: salted ``repartitionByRange`` on
+    the entity key, ``sortWithinPartitions(entity, offset)``, then ONE
+    ``mapInPandas`` over each whole partition that slices consecutive
+    entities and runs them through the *batched* kernel together.
+
+    Compared to ``core_features_from_long`` (grouped applyInPandas, one
+    kernel call per entity), this amortizes the kernel across all
+    entities of a partition — the physical plan the north rule describes
+    (range-partition + salt, per-entity sequential math inside a
+    vectorized Arrow kernel).  Entities are never split: the sort makes
+    them contiguous, and rows of the partition's final entity are held
+    back until the batch iterator is exhausted.
+    """
+    from atr_adaptive_laguerre_spark.engine.partitioning import (
+        salted_entity_key,
+    )
+
+    cfg = cfg or FeatureConfig()
+    keyed = salted_entity_key(long_df)
+    part = (keyed.repartitionByRange(num_partitions, "_ekey")
+            .sortWithinPartitions("_ekey", "offset"))
+
+    def process_group(chunk: pd.DataFrame) -> Iterator[pd.DataFrame]:
+        # chunk holds >=1 complete entities, sorted by (_ekey, offset)
+        ek = chunk["_ekey"].to_numpy()
+        bounds = np.flatnonzero(np.concatenate(([True], ek[1:] != ek[:-1])))
+        bounds = np.append(bounds, len(ek))
+        toks = [chunk["token"].to_numpy(dtype=np.int32)[bounds[i]:bounds[i + 1]]
+                for i in range(len(bounds) - 1)]
+        sub = chunk.iloc[bounds[:-1]]
+        pdf = pd.DataFrame({
+            "tokens": pd.Series(list(toks), dtype=object),
+            "source": sub["source"].to_numpy(),
+            "doc_id": sub["doc_id"].to_numpy(),
+        })
+        yield from _kernel_on_docs(pdf, cfg, long_form=True)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        held: pd.DataFrame | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if held is not None:
+                pdf = pd.concat([held, pdf], ignore_index=True)
+            ek = pdf["_ekey"].to_numpy()
+            last_key = ek[-1]
+            cut = np.searchsorted(ek, last_key, side="left")
+            if cut > 0:
+                yield from process_group(pdf.iloc[:cut])
+            held = pdf.iloc[cut:]
+        if held is not None and len(held):
+            yield from process_group(held)
+
+    return part.mapInPandas(run, schema=CORE_LONG_SCHEMA)
 
 
 def explode_tokens(doc_df: DataFrame) -> DataFrame:

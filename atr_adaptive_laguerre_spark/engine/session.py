@@ -21,10 +21,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+#: glibc malloc tuning for the Python workers: never trim the heap back
+#: to the OS and keep mid-size (<16 MB) blocks on the heap instead of
+#: mmap'ing them — page-fault handling collapses under many-core
+#: concurrency on virtualized hosts, so freed buffers must stay mapped.
+MALLOC_ENV = {
+    "MALLOC_TRIM_THRESHOLD_": "-1",
+    "MALLOC_MMAP_THRESHOLD_": "16777216",
+}
+
+
 def build_session(app: str = "atr-adaptive-laguerre-spark",
                   master: str | None = None,
                   shuffle_partitions: int | None = None,
                   extra: dict[str, str] | None = None) -> SparkSession:
+    # set before the JVM starts: local-mode Python workers inherit the
+    # driver JVM's environment
+    for k, v in MALLOC_ENV.items():
+        os.environ.setdefault(k, v)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or max(cpus * 2, 8)
@@ -44,6 +58,8 @@ def build_session(app: str = "atr-adaptive-laguerre-spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+    for k, v in MALLOC_ENV.items():
+        b = b.config(f"spark.executorEnv.{k}", v)   # cluster mode
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

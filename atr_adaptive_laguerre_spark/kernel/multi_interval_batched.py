@@ -28,7 +28,7 @@ import numpy as np
 
 from atr_adaptive_laguerre_spark.config import FeatureConfig
 from atr_adaptive_laguerre_spark.kernel.batched import (
-    core_loop_batched, get_workspace,
+    OutPool, core_loop_batched, get_workspace,
 )
 from atr_adaptive_laguerre_spark.kernel.expander_batched import expand_batched
 from atr_adaptive_laguerre_spark.kernel.expander_ref import FEATURE_COLUMNS
@@ -267,9 +267,22 @@ def _interactions_2d(K, ws, b, t) -> dict[str, np.ndarray]:
     return out
 
 
+def _gather(mat: np.ndarray, idx: np.ndarray, name: str,
+            pool: OutPool | None) -> np.ndarray:
+    """Flat gather into a pooled (reusable) output buffer when a pool is
+    given (the Arrow path), else a fresh array (the pandas/test path)."""
+    flat = mat.ravel()
+    if pool is None:
+        return flat[idx]
+    out = pool.get(name, len(idx))
+    np.take(flat, idx, out=out)
+    return out
+
+
 def single_interval_long(high: np.ndarray, low: np.ndarray,
                          close: np.ndarray, lengths: np.ndarray,
-                         cfg: FeatureConfig) -> dict[str, np.ndarray]:
+                         cfg: FeatureConfig,
+                         pool: OutPool | None = None) -> dict[str, np.ndarray]:
     """43-column single-interval pipeline on padded (B, T) inputs,
     returning long-form 1-D float64 arrays (reference
     ``fit_transform_features`` single-interval branch,
@@ -281,12 +294,14 @@ def single_interval_long(high: np.ndarray, low: np.ndarray,
                              cfg.adaptive_offset, copy_out=False)
     core["close"] = ws.view("close", b, t)
     feats = expand_batched(core, cfg)
-    return {col: feats[col].ravel()[flat_idx] for col in FEATURE_COLUMNS}
+    return {col: _gather(feats[col], flat_idx, col, pool)
+            for col in FEATURE_COLUMNS}
 
 
 def multi_interval_long(high: np.ndarray, low: np.ndarray, close: np.ndarray,
                         lengths: np.ndarray, cfg: FeatureConfig,
                         avail: np.ndarray | None = None,
+                        pool: OutPool | None = None,
                         ) -> dict[str, np.ndarray]:
     """Full multi-interval pipeline on padded (B, T) inputs, returning
     long-form 1-D float64 arrays (total real tokens, docs in order).
@@ -308,7 +323,8 @@ def multi_interval_long(high: np.ndarray, low: np.ndarray, close: np.ndarray,
     feats = expand_batched(core, cfg)
     K: dict[tuple[str, str], np.ndarray] = {}
     for col in FEATURE_COLUMNS:
-        out[f"{col}_base"] = feats[col].ravel()[flat_idx]
+        out[f"{col}_base"] = _gather(feats[col], flat_idx,
+                                     f"{col}_base", pool)
     for col in INTERACTION_INPUTS:
         slab = ws.view(f"mi_kb_{col}", b, t)
         np.copyto(slab, feats[col])
@@ -320,7 +336,10 @@ def multi_interval_long(high: np.ndarray, low: np.ndarray, close: np.ndarray,
         res, lengths_m = _resample_hlc(high, low, close, lengths, m, ws)
         if res is None:
             for col in FEATURE_COLUMNS:
-                out[f"{col}_{tag}"] = np.full(len(flat_idx), np.nan)
+                buf = (pool.get(f"{col}_{tag}", len(flat_idx))
+                       if pool is not None else np.empty(len(flat_idx)))
+                buf[:] = np.nan
+                out[f"{col}_{tag}"] = buf
             for col in INTERACTION_INPUTS:
                 slab = ws.view(f"mi_k{g}_{col}", b, t)
                 slab[:] = np.nan
@@ -342,7 +361,7 @@ def multi_interval_long(high: np.ndarray, low: np.ndarray, close: np.ndarray,
             gidx, nomatch = _align_gather_idx_avail(avail, lengths,
                                                     lengths_m, m, tm)
         for col in FEATURE_COLUMNS:
-            vals = feats_m[col].ravel()[gidx]
+            vals = _gather(feats_m[col], gidx, f"{col}_{tag}", pool)
             if nomatch.any():
                 vals[nomatch] = np.nan
             out[f"{col}_{tag}"] = vals
@@ -358,7 +377,7 @@ def multi_interval_long(high: np.ndarray, low: np.ndarray, close: np.ndarray,
     # output cell is real.
     inter = _interactions_2d(K, ws, b, t)
     for col in INTERACTION_COLUMNS:
-        out[col] = inter[col].ravel()[flat_idx]
+        out[col] = _gather(inter[col], flat_idx, col, pool)
 
     if cfg.filter_redundancy:
         for col in REDUNDANT_FEATURES:

@@ -519,3 +519,118 @@ ORACLES: dict[str, str] = {
 
 
 _merge_operator_modules()
+
+
+def q_asof_join_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT point-in-time as-of join: latest order with o_orderdate
+    strictly BEFORE the event's ts (equal instants excluded — the A2 tie
+    semantics, reference atr_adaptive_rsi.py:1017-1021,1036-1040).
+    Spark-native union+window: at equal times events sort BEFORE orders
+    (is_event=0 for orders sorts after via desc flag), so the running
+    `last(order)` seen by an event excludes same-instant orders."""
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    left = ev.select(F.col("user_id").alias("k"),
+                     _us(F.col("ts")).alias("t"),
+                     F.lit(0).alias("side"),   # events first at equal t
+                     "event_id",
+                     F.lit(None).cast("bigint").alias("o_orderkey_r"))
+    right = orders.select(F.col("o_custkey").alias("k"),
+                          _us(F.col("o_orderdate")).alias("t"),
+                          F.lit(1).alias("side"),
+                          F.lit(None).cast("bigint").alias("event_id"),
+                          F.col("o_orderkey").alias("o_orderkey_r"))
+    unioned = left.unionByName(right)
+    w = (Window.partitionBy("k")
+         .orderBy("t", "side", F.col("o_orderkey_r").asc_nulls_last())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    matched = (unioned.select(
+        "k", "side", "event_id",
+        F.last("o_orderkey_r", ignorenulls=True).over(w)
+        .alias("o_orderkey"))
+        .filter(F.col("side") == 0))
+    return (matched.select("event_id", F.col("k").alias("user_id"),
+                           "o_orderkey")
+            .orderBy("event_id"))
+
+
+ORACLE_ASOF_JOIN_STRICT = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, o.o_orderkey
+FROM events e
+ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.ts > o.o_orderdate
+ORDER BY e.event_id
+"""
+
+
+def q_events_run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length + bars-since operators on the event stream — the
+    Spark-native form of the reference's cumsum-group idiom (F1
+    bars_in_regime, F4 bars_since_*; feature_expander.py:192-194,292-300):
+    per user, the length of the current run of same event_type, and the
+    number of events since the last 'error'."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    changed = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w)), 1
+    ).otherwise(0)
+    ev2 = ev.withColumn("chg", changed)
+    run_id = F.sum("chg").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0))
+    ev3 = ev2.withColumn("run_id", run_id)
+    run_len = F.row_number().over(
+        Window.partitionBy("user_id", "run_id").orderBy("ts", "event_id"))
+    is_err = (F.col("event_type") == "error").cast("int")
+    ev4 = ev3.withColumn("is_err", is_err)
+    grp = F.sum("is_err").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0))
+    ev5 = ev4.withColumn("err_grp", grp)
+    since_err = F.sum(1 - F.col("is_err")).over(
+        Window.partitionBy("user_id", "err_grp").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0))
+    return (ev5.select("event_id", "user_id",
+                       run_len.alias("run_length"),
+                       since_err.cast("bigint").alias("events_since_error"))
+            .orderBy("event_id"))
+
+
+ORACLE_EVENTS_RUN_LENGTH = """
+WITH base AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR event_type != LAG(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT *,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id,
+         SUM(is_err) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS err_grp
+  FROM base
+)
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id, run_id
+                          ORDER BY ts, event_id) AS run_length,
+       CAST(SUM(1 - is_err) OVER (PARTITION BY user_id, err_grp
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS events_since_error
+FROM runs
+ORDER BY event_id
+"""
+
+QUERIES["asof_join_strict"] = q_asof_join_strict
+ORACLES["asof_join_strict"] = ORACLE_ASOF_JOIN_STRICT
+QUERIES["events_run_length"] = q_events_run_length
+ORACLES["events_run_length"] = ORACLE_EVENTS_RUN_LENGTH

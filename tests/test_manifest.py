@@ -1,0 +1,70 @@
+"""Checkpoint-resume: an interrupted run resumes without recomputing or
+duplicating completed buckets, and the manifest carries per-bucket
+lineage + metrics."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from atr_adaptive_laguerre_spark.config import FeatureConfig
+from atr_adaptive_laguerre_spark.engine.manifest import run_resumable
+
+CFG = FeatureConfig(atr_period=14)
+
+
+def test_resume_after_interruption(spark, corpus_parquet, tmp_path):
+    doc_df = spark.read.parquet(corpus_parquet)
+    out_dir = str(tmp_path / "features")
+    man_dir = str(tmp_path / "manifest")
+
+    # first attempt "dies" after one wave
+    r1 = run_resumable(spark, doc_df, CFG, out_dir, man_dir,
+                       run_id="r1", n_buckets=8, buckets_per_wave=3,
+                       max_waves=1)
+    assert len(r1["completed_now"]) == 3
+    assert len(r1["remaining"]) == 5
+
+    # resume completes the rest, skipping finished buckets
+    r2 = run_resumable(spark, doc_df, CFG, out_dir, man_dir,
+                       run_id="r1", n_buckets=8, buckets_per_wave=3)
+    assert sorted(r2["completed_before"]) == sorted(r1["completed_now"])
+    assert r2["remaining"] == []
+    assert not (set(r2["completed_now"]) & set(r1["completed_now"]))
+
+    # output: exactly one row per token, no duplicates
+    feats = spark.read.parquet(out_dir)
+    n_tok_total = doc_df.agg(F.sum("n_tok")).collect()[0][0]
+    assert feats.count() == n_tok_total
+    dupes = (feats.groupBy("source", "doc_id", "offset").count()
+             .filter(F.col("count") > 1).count())
+    assert dupes == 0
+
+    # manifest: one row per bucket, metrics consistent with the input
+    man = spark.read.parquet(man_dir).toPandas()
+    assert sorted(man["bucket"]) == list(range(8))
+    assert man["n_docs"].sum() == doc_df.count()
+    assert man["n_tokens"].sum() == n_tok_total
+    assert (man["wall_sec"] > 0).all()
+    assert man["input_fingerprint"].nunique() == 8  # lineage is per-bucket
+
+    # idempotent third call: nothing left to do
+    r3 = run_resumable(spark, doc_df, CFG, out_dir, man_dir,
+                       run_id="r1", n_buckets=8, buckets_per_wave=3)
+    assert r3["completed_now"] == [] and r3["remaining"] == []
+
+
+def test_fingerprint_stable_across_runs(spark, corpus_parquet, tmp_path):
+    """Lineage: the same input produces the same per-bucket fingerprint
+    in an independent run (auditable input identity)."""
+    doc_df = spark.read.parquet(corpus_parquet)
+    m1 = str(tmp_path / "m1")
+    m2 = str(tmp_path / "m2")
+    run_resumable(spark, doc_df, CFG, str(tmp_path / "o1"), m1,
+                  run_id="a", n_buckets=4, buckets_per_wave=4)
+    run_resumable(spark, doc_df, CFG, str(tmp_path / "o2"), m2,
+                  run_id="b", n_buckets=4, buckets_per_wave=4)
+    f1 = (spark.read.parquet(m1).select("bucket", "input_fingerprint")
+          .toPandas().set_index("bucket").sort_index())
+    f2 = (spark.read.parquet(m2).select("bucket", "input_fingerprint")
+          .toPandas().set_index("bucket").sort_index())
+    np.testing.assert_array_equal(f1["input_fingerprint"].to_numpy(),
+                                  f2["input_fingerprint"].to_numpy())

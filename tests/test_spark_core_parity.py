@@ -127,3 +127,18 @@ def test_long_form_reassembles_to_original_tokens(spark, doc_df):
 def test_scan_path_has_no_shuffle(spark, doc_df):
     plan = core_features_long(doc_df, CFG)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, f"unexpected shuffle in scan path:\n{plan}"
+
+
+def test_partition_sorted_path_matches_scan_path(spark, doc_df):
+    from atr_adaptive_laguerre_spark.engine.features_job import (
+        core_features_from_long_sorted,
+    )
+
+    long_in = explode_tokens(doc_df)
+    got = _collect_sorted(
+        core_features_from_long_sorted(long_in, CFG, num_partitions=5))
+    want = _collect_sorted(core_features_long(doc_df, CFG))
+    assert len(got) == len(want) > 0
+    for k in ("token", *CORE_OUTPUTS):
+        np.testing.assert_array_equal(
+            got[k].to_numpy(), want[k].to_numpy(), err_msg=k)
