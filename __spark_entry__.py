@@ -20,10 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from atr_adaptive_laguerre_spark.queries import q_core_rsi_features
+    """Flagship query on /root/testdata/sf0.001: tokenize documents
+    Spark-natively and run the full 121-column multi-interval
+    feature pipeline (driver checks rows>0, stable schema)."""
+    from atr_adaptive_laguerre_spark.queries import q_features_121
 
-    return q_core_rsi_features(spark, "/root/testdata/sf0.001")
+    return q_features_121(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,64 @@
+"""Physical-plan assertions: the plans we'd want at 100 TB, not just the
+first ones that pass (filter/column pushdown into scans, broadcast joins
+for dims, no stray shuffles/sorts in the narrow paths)."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark):
+    from atr_adaptive_laguerre_spark.queries import q_pricing_summary
+
+    plan = _plan(q_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" \
+        in plan, plan
+    # only the 6 needed columns are read, not all 11
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in rs and "l_orderkey" not in rs, rs
+    assert "l_quantity" in rs and "l_returnflag" in rs, rs
+
+
+def test_star_join_uses_broadcast(spark):
+    from atr_adaptive_laguerre_spark.queries import q_star_join_revenue
+
+    plan = _plan(q_star_join_revenue(spark, SF))
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_window_queries_single_shuffle_per_key(spark):
+    """Per-user window pipelines should shuffle once on user_id, not once
+    per window function."""
+    from atr_adaptive_laguerre_spark.queries import q_events_rolling_stats
+
+    plan = _plan(q_events_rolling_stats(spark, SF))
+    # one exchange for user_id partitioning (+ possibly one for orderBy)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_features_job_prunes_input_columns(spark):
+    """The kernel job must only read the columns it uses from the doc
+    table (tokens/source/doc_id), pruning n_tok at the scan."""
+    from atr_adaptive_laguerre_spark.config import FeatureConfig
+    from atr_adaptive_laguerre_spark.engine.features_job import features_long
+
+    doc = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from atr_adaptive_laguerre_spark.engine.tokens import tokenize_documents
+
+    tok = tokenize_documents(doc)
+    plan = _plan(features_long(tok, FeatureConfig(atr_period=14)))
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in rs and "doc_id" in rs, rs
+    assert "n_chars" not in rs, rs   # unused metadata pruned at the scan
+
+
+def test_exact_dedup_single_shuffle(spark):
+    from atr_adaptive_laguerre_spark.operators.dedup import q_dedup_exact
+
+    plan = _plan(q_dedup_exact(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
