@@ -78,24 +78,38 @@ def main() -> None:
     features_long(warm, cfg121).count()
     core_features_long(warm, cfg).count()
 
+    def timed_min(fn, runs=2):
+        """Best of N runs: wall times on this shared host vary 3-8x with
+        neighbor load; min is the least-noise estimate."""
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
     # ---- flagship: core kernel over the token corpus ----
-    t0 = time.time()
-    feats = core_features_long(doc_df, cfg, num_partitions=cpus * 3)
-    agg = feats.agg(F.count(F.lit(1)).alias("rows"),
-                    F.sum("rsi").alias("rsi_sum")).collect()[0]
-    dt = time.time() - t0
-    assert agg["rows"] == n_tok_total, (agg["rows"], n_tok_total)
+    def run_core():
+        feats = core_features_long(doc_df, cfg, num_partitions=cpus * 3)
+        agg = feats.agg(F.count(F.lit(1)).alias("rows"),
+                        F.sum("rsi").alias("rsi_sum")).collect()[0]
+        assert agg["rows"] == n_tok_total, (agg["rows"], n_tok_total)
+
+    dt = timed_min(run_core)
     timings["core_rsi_kernel"] = round(dt, 3)
     extras["n_sequences"] = n_seq
     extras["n_tokens"] = int(n_tok_total)
 
     # ---- headline: full 121-column multi-interval feature matrix ----
-    t0 = time.time()
-    f121 = features_long(doc_df, cfg121, num_partitions=cpus * 3)
-    agg = f121.agg(F.count(F.lit(1)).alias("rows"),
-                   F.sum("rsi_percentile_20_base").alias("chk")).collect()[0]
-    dt = time.time() - t0
-    assert agg["rows"] == n_tok_total, (agg["rows"], n_tok_total)
+    def run_121():
+        f121 = features_long(doc_df, cfg121, num_partitions=cpus * 3)
+        agg = f121.agg(F.count(F.lit(1)).alias("rows"),
+                       F.sum("rsi_percentile_20_base").alias("chk")
+                       ).collect()[0]
+        assert agg["rows"] == n_tok_total, (agg["rows"], n_tok_total)
+
+    dt = timed_min(run_121)
     timings["features_121_kernel"] = round(dt, 3)
     extras["sequences_per_sec"] = round(n_seq / dt, 1)
     extras["tokens_per_sec"] = round(n_tok_total / dt, 1)
