@@ -95,3 +95,21 @@ def test_features_checksum_matches_long(spark, doc_df):
             continue
         np.testing.assert_allclose(chk[c], want[c], rtol=1e-9,
                                    err_msg=c)
+
+
+def test_features_parquet_round_trip(spark, doc_df, tmp_path):
+    """The production sink: features written as zstd parquet read back
+    value-identical, with tokens array<int> type preserved (no upcast)."""
+    out = str(tmp_path / "feat_out")
+    df = features_long(doc_df, CFG43)
+    df.write.mode("overwrite").option("compression", "zstd").parquet(out)
+    back = spark.read.parquet(out)
+    assert dict(back.dtypes)["token"] == "int"
+    a = (df.toPandas().sort_values(["source", "doc_id", "offset"])
+         .reset_index(drop=True))
+    b = (back.toPandas().sort_values(["source", "doc_id", "offset"])
+         .reset_index(drop=True))
+    assert len(a) == len(b)
+    for c in ("token", "rsi", "bars_in_regime", "tail_risk_score"):
+        np.testing.assert_array_equal(a[c].to_numpy(), b[c].to_numpy(),
+                                      err_msg=c)
