@@ -634,3 +634,22 @@ QUERIES["asof_join_strict"] = q_asof_join_strict
 ORACLES["asof_join_strict"] = ORACLE_ASOF_JOIN_STRICT
 QUERIES["events_run_length"] = q_events_run_length
 ORACLES["events_run_length"] = ORACLE_EVENTS_RUN_LENGTH
+
+
+def q_features_121_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """121-column pipeline with the strict point-in-time availability
+    alignment (A2): per-row availability timestamps derived
+    deterministically from tokens; equal-availability resampled bars are
+    excluded (the reference's v1.0.5 strictness semantics). Rows-only
+    check; parity + leakage covered by tests/test_availability.py and
+    tests/test_adversarial_temporal.py."""
+    from atr_adaptive_laguerre_spark.engine.features_job import features_long
+    from atr_adaptive_laguerre_spark.engine.tokens import tokenize_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    cfg = FeatureConfig.multi_interval(multiplier_1=3, multiplier_2=12,
+                                       atr_period=14, availability=True)
+    return features_long(tokenize_documents(docs), cfg)
+
+
+QUERIES["features_121_availability"] = q_features_121_availability
