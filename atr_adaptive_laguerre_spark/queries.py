@@ -497,10 +497,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 def _merge_operator_modules() -> None:
     from atr_adaptive_laguerre_spark.operators import (
-        dedup, multimodal, similarity, text, validation,
+        dedup, multimodal, similarity, text, validation, windows_sql,
     )
 
-    for mod in (text, dedup, similarity, multimodal, validation):
+    for mod in (text, dedup, similarity, multimodal, validation,
+                windows_sql):
         QUERIES.update(mod.QUERIES)
         ORACLES.update(mod.ORACLES)
 
