@@ -107,3 +107,19 @@ def test_multi_interval_hypothesis(seed, n):
     high = close + np.abs(rng.standard_normal(n) * 0.2)
     low = close - np.abs(rng.standard_normal(n) * 0.2)
     _check_docs([(high, low, close)], CFG121)
+
+
+@settings(max_examples=10, deadline=None)
+@given(atr_period=st.integers(min_value=2, max_value=30),
+       m1=st.integers(min_value=2, max_value=6),
+       dm=st.integers(min_value=1, max_value=9),
+       filt=st.booleans())
+def test_multi_interval_config_space(atr_period, m1, dm, filt):
+    """Batched == oracle across the config space (atr_period,
+    multipliers, redundancy filter) — the reference's property-based
+    config generation (tests/test_temporal/test_properties.py)."""
+    cfg = FeatureConfig.multi_interval(
+        multiplier_1=m1, multiplier_2=m1 + dm, atr_period=atr_period,
+        filter_redundancy=filt)
+    seqs = [tokens_to_ohlcv(make_tokens(3, 180))]
+    _check_docs(seqs, cfg)
