@@ -49,41 +49,62 @@ def _us(col):
 # flagship: tokenized documents -> core RSI features (kernel path; rows-only)
 # ---------------------------------------------------------------------------
 
+def _quantized(df: DataFrame) -> DataFrame:
+    """Quantize every double column through the cross-engine rounder so
+    the exact value hash tolerates sub-1e-6 op-order residue; key columns
+    pass through untouched."""
+    return df.select(*[
+        _r6(F.col(f.name)).alias(f.name) if f.dataType.simpleString() == "double"
+        else F.col(f.name)
+        for f in df.schema.fields])
+
+
 def q_core_rsi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenize documents Spark-natively, run the per-entity recurrence
-    kernel, return long-form features. Non-SQL-expressible (sequential
-    Laguerre recurrence) -> no oracle; covered by the pytest parity suite."""
+    """Tokenize documents Spark-natively (portable md5 tokens), run the
+    per-entity recurrence kernel, return long-form features quantized to
+    1e-6.  DuckDB twin: a recursive CTE carrying the identical per-step
+    state (oracles.oracle_core_rsi) — the sequential Laguerre recurrence
+    is SQL-expressible after all."""
     from atr_adaptive_laguerre_spark.engine.features_job import core_features_long
-    from atr_adaptive_laguerre_spark.engine.tokens import tokenize_documents
+    from atr_adaptive_laguerre_spark.engine.tokens import (
+        tokenize_documents_portable,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    tok = tokenize_documents(docs)
-    return core_features_long(tok, FeatureConfig(atr_period=14))
+    tok = tokenize_documents_portable(docs)
+    return _quantized(core_features_long(tok, FeatureConfig(atr_period=14)))
 
 
 def q_features_43(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full 43-column single-interval feature expansion (F1-F12) over the
-    tokenized documents. Rows-only check; parity vs the pandas oracle is
-    covered by tests/test_expander.py + tests/test_spark_features.py."""
+    tokenized documents, quantized to 1e-6.  DuckDB twin: recursive-CTE
+    core + op-order-mirrored window SQL (oracles.oracle_features_43);
+    parity vs the pandas oracle additionally covered by
+    tests/test_expander.py + tests/test_spark_features.py."""
     from atr_adaptive_laguerre_spark.engine.features_job import features_long
-    from atr_adaptive_laguerre_spark.engine.tokens import tokenize_documents
+    from atr_adaptive_laguerre_spark.engine.tokens import (
+        tokenize_documents_portable,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return features_long(tokenize_documents(docs),
-                         FeatureConfig(atr_period=14))
+    return _quantized(features_long(tokenize_documents_portable(docs),
+                                    FeatureConfig(atr_period=14)))
 
 
 def q_features_121(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full 121-column multi-interval pipeline (resample x3, positional
     ffill alignment, 40 cross-interval interactions, redundancy filter) —
-    the reference's fit_transform_features multi-interval branch."""
+    the reference's fit_transform_features multi-interval branch,
+    quantized to 1e-6 (DuckDB twin: oracles.oracle_features_121)."""
     from atr_adaptive_laguerre_spark.engine.features_job import features_long
-    from atr_adaptive_laguerre_spark.engine.tokens import tokenize_documents
+    from atr_adaptive_laguerre_spark.engine.tokens import (
+        tokenize_documents_portable,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     cfg = FeatureConfig.multi_interval(multiplier_1=3, multiplier_2=12,
                                        atr_period=14)
-    return features_long(tokenize_documents(docs), cfg)
+    return _quantized(features_long(tokenize_documents_portable(docs), cfg))
 
 
 # ---------------------------------------------------------------------------
@@ -506,6 +527,12 @@ def _merge_operator_modules() -> None:
         ORACLES.update(mod.ORACLES)
 
 
+def _merge_flagship_oracles() -> None:
+    from atr_adaptive_laguerre_spark import oracles as _o
+
+    ORACLES["core_rsi_features"] = _o.oracle_core_rsi()
+
+
 ORACLES: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "star_join_revenue": ORACLE_STAR_JOIN_REVENUE,
@@ -520,6 +547,7 @@ ORACLES: dict[str, str] = {
 
 
 _merge_operator_modules()
+_merge_flagship_oracles()
 
 
 def q_asof_join_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -641,16 +669,19 @@ def q_features_121_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """121-column pipeline with the strict point-in-time availability
     alignment (A2): per-row availability timestamps derived
     deterministically from tokens; equal-availability resampled bars are
-    excluded (the reference's v1.0.5 strictness semantics). Rows-only
-    check; parity + leakage covered by tests/test_availability.py and
+    excluded (the reference's v1.0.5 strictness semantics).  Quantized to
+    1e-6; DuckDB twin: oracles.oracle_features_121(availability=True);
+    leakage additionally covered by tests/test_availability.py and
     tests/test_adversarial_temporal.py."""
     from atr_adaptive_laguerre_spark.engine.features_job import features_long
-    from atr_adaptive_laguerre_spark.engine.tokens import tokenize_documents
+    from atr_adaptive_laguerre_spark.engine.tokens import (
+        tokenize_documents_portable,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     cfg = FeatureConfig.multi_interval(multiplier_1=3, multiplier_2=12,
                                        atr_period=14, availability=True)
-    return features_long(tokenize_documents(docs), cfg)
+    return _quantized(features_long(tokenize_documents_portable(docs), cfg))
 
 
 QUERIES["features_121_availability"] = q_features_121_availability
