@@ -237,6 +237,178 @@ CORE_OUT_COLS = ("rsi", "adaptive_coeff", "gamma", "L0", "L1", "L2", "L3",
                  "min_atr", "max_atr", "atr")
 
 
+# ---------------------------------------------------------------------------
+# 43-column expander as layered window SQL
+# ---------------------------------------------------------------------------
+
+def _revsum(lst: str) -> str:
+    """Newest-to-oldest fold — the expander's ``_rolling_sum`` adds window
+    offsets j=0,1,2,... (current bar first)."""
+    return f"list_reduce(list_reverse({lst}), (a, b) -> a + b)"
+
+
+def expander_ctes(core: str, pre: str, idx: str = "i") -> tuple[str, str]:
+    """CTE chain computing the 43 expander columns
+    (``kernel/expander_batched.expand_batched``, op order mirrored) over a
+    core CTE; returns (sql_fragment, final_cte_name).  All layer-local
+    helper columns are prefixed to avoid collisions when several grains
+    are stitched together."""
+    w = f"PARTITION BY doc_id ORDER BY {idx}"
+    cum = f"{w} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    f19 = f"{w} ROWS BETWEEN {SW - 1} PRECEDING AND CURRENT ROW"
+    f99 = f"{w} ROWS BETWEEN 99 PRECEDING AND CURRENT ROW"
+    up, down = _d(UP), _d(DOWN)
+    eps = _d(1e-10)
+    x1, x2, x3, x4 = (f"{pre}_x1", f"{pre}_x2", f"{pre}_x3", f"{pre}_x4")
+
+    sql = f"""
+{x1} AS (
+  SELECT c.*,
+    lag(rsi) OVER ({w}) AS q_prev_rsi,
+    lag(rsi, 5) OVER ({w}) AS q_rsi5,
+    first_value(rsi) OVER ({w}) AS q_first_rsi,
+    list(rsi) OVER ({f19}) AS q_lrsi,
+    min(rsi) OVER ({f19}) AS q_rmin,
+    max(rsi) OVER ({f19}) AS q_rmax,
+    lag(adaptive_coeff) OVER ({w}) AS q_prev_coeff,
+    list(gamma) OVER ({f19}) AS q_lgam,
+    lag(L0) OVER ({w}) AS q_prev_L0,
+    lag(close) OVER ({w}) AS q_prev_close,
+    lag(close, {SW}) OVER ({w}) AS q_close20,
+    first_value(close) OVER ({w}) AS q_first_close,
+    CAST(least({idx} + 1, {SW}) AS DOUBLE) AS q_n20,
+    CAST(least({idx} + 1, 100) AS DOUBLE) AS q_n100,
+    CASE WHEN rsi < {down} THEN 0.0::DOUBLE
+         WHEN rsi > {up} THEN 2.0::DOUBLE ELSE 1.0::DOUBLE END AS regime,
+    rsi < {down} AS q_is_os,
+    rsi > {up} AS q_is_ob,
+    CASE WHEN L0 > L1 AND NOT (L2 > L3) THEN 1.0::DOUBLE
+         WHEN L0 > L1 AND L2 > L3 THEN 2.0::DOUBLE
+         WHEN NOT (L0 > L1) AND L2 > L3 THEN 3.0::DOUBLE
+         ELSE 0.0::DOUBLE END AS cycle_phase,
+    rsi - {up} AS dist_overbought,
+    rsi - {down} AS dist_oversold,
+    rsi - 0.5::DOUBLE AS dist_midline,
+    abs(rsi - {up}) AS abs_dist_overbought,
+    abs(rsi - {down}) AS abs_dist_oversold,
+    COALESCE(q_prev_rsi, rsi) AS q_prev,
+    {_b(f"q_prev <= {down} AND rsi > {down}")} AS cross_above_oversold,
+    {_b(f"q_prev >= {up} AND rsi < {up}")} AS cross_below_overbought,
+    {_b("q_prev <= 0.5::DOUBLE AND rsi > 0.5::DOUBLE")} AS cross_above_midline,
+    {_b("q_prev >= 0.5::DOUBLE AND rsi < 0.5::DOUBLE")} AS cross_below_midline,
+    rsi - q_prev AS rsi_change_1,
+    rsi - COALESCE(q_rsi5, q_first_rsi) AS rsi_change_5,
+    {_revsum('q_lrsi')} / q_n20 AS q_rmean,
+    CASE WHEN {idx} = 0 THEN 0.0::DOUBLE
+         WHEN q_rmin = q_rmax THEN 0.0::DOUBLE
+         ELSE sqrt(list_reduce(list_transform(list_reverse(q_lrsi),
+                v -> (v - q_rmean) * (v - q_rmean)), (a, b) -> a + b)
+              / greatest(q_n20 - 1.0::DOUBLE, 1.0::DOUBLE))
+    END AS rsi_volatility_20,
+    (CAST(len(list_filter(q_lrsi[1:len(q_lrsi) - 1], v -> v < rsi)) AS DOUBLE)
+       / q_n20) * 100.0::DOUBLE AS rsi_percentile_20,
+    (rsi - q_rmean) / (CASE WHEN rsi_volatility_20 = 0.0::DOUBLE
+                            THEN 1.0::DOUBLE
+                            ELSE rsi_volatility_20 END) AS rsi_zscore_20,
+    q_rmax - q_rmin AS rsi_range_20,
+    {_b(f"abs(rsi_change_1) > {_d(0.3)}")} AS rsi_shock_1bar,
+    adaptive_coeff - COALESCE(q_prev_coeff, adaptive_coeff) AS adaptive_coeff_roc_1,
+    gamma - {_revsum('q_lgam')} / q_n20 AS gamma_spread,
+    (L0 - L3) / ((abs(L0) + abs(L3)) + {eps}) AS laguerre_spread,
+    abs(L1 - L2) / ((abs(L0 - L1) + abs(L2 - L3)) + {eps}) AS laguerre_mid_convergence,
+    L0 - COALESCE(q_prev_L0, L0) AS q_l0d,
+    (max_atr - min_atr) / (max_atr + {eps}) AS atr_range_width,
+    abs(close - COALESCE(q_prev_close, close)) AS q_abs_ch,
+    abs(close - COALESCE(q_close20, q_first_close)) AS q_direction,
+    CASE WHEN regime = 0.0::DOUBLE THEN greatest({down} - rsi, 0.0::DOUBLE)
+         WHEN regime = 2.0::DOUBLE THEN greatest(rsi - {up}, 0.0::DOUBLE)
+         ELSE 0.0::DOUBLE END AS regime_strength,
+    {_b("regime = 0.0::DOUBLE")} AS regime_bearish,
+    {_b("regime = 1.0::DOUBLE")} AS regime_neutral,
+    {_b("regime = 2.0::DOUBLE")} AS regime_bullish
+  FROM {core} c
+),
+{x2} AS (
+  SELECT c.*,
+    lag(regime) OVER ({w}) AS q_prev_regime,
+    lag(cycle_phase) OVER ({w}) AS q_prev_phase,
+    list(rsi_volatility_20) OVER ({f99}) AS q_lstd,
+    list(q_abs_ch) OVER ({f19}) AS q_labs,
+    list(q_l0d) OVER ({f19}) AS q_ll0d,
+    min(q_l0d) OVER ({f19}) AS q_l0dmin,
+    max(q_l0d) OVER ({f19}) AS q_l0dmax,
+    sum(CASE WHEN NOT q_is_os THEN 1 ELSE 0 END) OVER ({cum}) AS q_cum_not_os,
+    sum(CASE WHEN NOT q_is_ob THEN 1 ELSE 0 END) OVER ({cum}) AS q_cum_not_ob
+  FROM {x1} c
+),
+{x3} AS (
+  SELECT c.*,
+    {_b("regime <> COALESCE(q_prev_regime, regime)")} AS regime_changed,
+    {_b("cycle_phase <> COALESCE(q_prev_phase, cycle_phase)")} AS cycle_phase_changed,
+    {_revsum('q_lstd')} / q_n100 AS q_vmean,
+    CASE WHEN {idx} = 0 THEN 0.0::DOUBLE
+         WHEN list_min(q_lstd) = list_max(q_lstd) THEN 0.0::DOUBLE
+         ELSE sqrt(list_reduce(list_transform(list_reverse(q_lstd),
+                v -> (v - q_vmean) * (v - q_vmean)), (a, b) -> a + b)
+              / greatest(q_n100 - 1.0::DOUBLE, 1.0::DOUBLE))
+    END AS q_vstd,
+    CASE WHEN {idx} + 1 >= 20
+              AND rsi_volatility_20 > ((q_vstd * 2.0::DOUBLE) + q_vmean)
+         THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS rsi_volatility_spike,
+    {_revsum('q_labs')} AS q_vol,
+    least(greatest(q_direction / (CASE WHEN q_vol = 0.0::DOUBLE
+                                       THEN 1.0::DOUBLE ELSE q_vol END),
+                   0.0::DOUBLE), 1.0::DOUBLE) AS efficiency_ratio,
+    {_b("efficiency_ratio > 0.5::DOUBLE")} AS efficiency_trend,
+    {_revsum('q_ll0d')} / q_n20 AS q_l0dmean,
+    CASE WHEN {idx} = 0 THEN 0.0::DOUBLE
+         WHEN q_l0dmin = q_l0dmax THEN 0.0::DOUBLE
+         ELSE sqrt(list_reduce(list_transform(list_reverse(q_ll0d),
+                v -> (v - q_l0dmean) * (v - q_l0dmean)), (a, b) -> a + b)
+              / greatest(q_n20 - 1.0::DOUBLE, 1.0::DOUBLE))
+    END AS q_l0dstd,
+    q_l0d / (CASE WHEN q_l0dstd = 0.0::DOUBLE THEN 1.0::DOUBLE
+                  ELSE q_l0dstd END) AS laguerre_slope
+  FROM {x2} c
+),
+{x4} AS (
+  SELECT c.*,
+    max(CASE WHEN regime_changed = 1.0::DOUBLE THEN {idx} ELSE 0 END)
+        OVER ({cum}) AS q_lci,
+    max(CASE WHEN q_is_os THEN q_cum_not_os ELSE 0 END) OVER ({cum}) AS q_reset_os,
+    max(CASE WHEN q_is_ob THEN q_cum_not_ob ELSE 0 END) OVER ({cum}) AS q_reset_ob,
+    (CAST({idx} AS DOUBLE) - CAST(q_lci AS DOUBLE)) + 1.0::DOUBLE AS bars_in_regime,
+    CAST(q_cum_not_os - q_reset_os AS DOUBLE) AS bars_since_oversold,
+    CAST(q_cum_not_ob - q_reset_ob AS DOUBLE) AS bars_since_overbought,
+    least(bars_since_oversold, bars_since_overbought) AS bars_since_extreme,
+    {_b("regime <> 1.0::DOUBLE AND bars_in_regime > 10.0::DOUBLE")} AS extreme_regime_persistence,
+    least(greatest(((rsi_shock_1bar * {_d(0.4)})
+                    + (extreme_regime_persistence * {_d(0.3)}))
+                   + (rsi_volatility_spike * {_d(0.3)}),
+                   0.0::DOUBLE), 1.0::DOUBLE) AS tail_risk_score
+  FROM {x3} c
+)"""
+    return sql, x4
+
+
+def oracle_features_43() -> str:
+    """Twin of ``queries.q_features_43`` (quantized to 1e-6)."""
+    exp, final = expander_ctes("core", "e", "i")
+    outs = []
+    for c in FEATURE_COLUMNS:
+        src = {"gamma_value": "gamma", "rsi_velocity": "vel"}.get(c, c)
+        outs.append(f"{_r6(src)} AS {c}")
+    cols = ",\n       ".join(outs)
+    return f"""
+WITH RECURSIVE {bars_cte()},
+{core_cte('core', 'bars')},{exp}
+SELECT source, doc_id, i AS "offset", token,
+       {cols}
+FROM {final}
+ORDER BY doc_id, "offset"
+"""
+
+
 def oracle_core_rsi() -> str:
     """Twin of ``queries.q_core_rsi_features`` (quantized to 1e-6)."""
     cols = ",\n       ".join(f"{_r6(c)} AS {c}" for c in CORE_OUT_COLS)

@@ -531,6 +531,7 @@ def _merge_flagship_oracles() -> None:
     from atr_adaptive_laguerre_spark import oracles as _o
 
     ORACLES["core_rsi_features"] = _o.oracle_core_rsi()
+    ORACLES["features_43_single_interval"] = _o.oracle_features_43()
 
 
 ORACLES: dict[str, str] = {
