@@ -106,13 +106,13 @@ def bars_cte() -> str:
     recursive core CTE."""
     tok = f"('0x' || substr(md5(w), 1, 15))::BIGINT % {VOCAB}"
     return rf"""
-words AS (
+words AS MATERIALIZED (
   SELECT doc_id::VARCHAR AS doc_id, source,
          CAST(unnest(range(len(regexp_split_to_array(trim(text), '\s+')))) AS INT) AS i,
          unnest(regexp_split_to_array(trim(text), '\s+')) AS w
   FROM documents
 ),
-bars AS (
+bars AS MATERIALIZED (
   SELECT doc_id, source, i,
          CAST({tok} AS INT) AS token,
          CAST(({tok}) % 997 - 498 AS DOUBLE) / 100.0::DOUBLE AS step,
@@ -137,99 +137,133 @@ def core_cte(name: str, bars: str, idx: str = "i",
     ``from_tokens=True`` derives close/high/low from the token cumsum
     (``data/corpus.tokens_to_ohlcv``); otherwise ``bars`` must already
     carry high/low/close columns (the resampled grains).
+
+    Structure matters for performance: DuckDB expands lateral aliases
+    textually at bind time, so a deep alias chain (csum -> close -> tr ->
+    atr -> gamma -> L0..L3 -> rsi) duplicates subtrees exponentially
+    (~100x slower).  Each dependency level is therefore a *nested
+    subquery*, whose projection materializes its columns exactly once.
     """
     p = ATR_PERIOD
     alpha, om_alpha = _d(ALPHA), _d(1.0 - ALPHA)
     base_p, off = _d(float(ATR_PERIOD)), _d(ADAPTIVE_OFFSET)
+    # the kernel state + outputs the CTE carries (column order = anchor)
+    keys = ["doc_id", "source", idx] + (["token", "avail"] if from_tokens
+                                        else [])
+    carry = (["csum"] if from_tokens else []) + [
+        "close", "high", "low", "tr_list", "tr_sum",
+        "atr", "min_atr", "max_atr", "adaptive_coeff", "gamma",
+        "L0", "L1", "L2", "L3", "rsi", "vel"]
 
-    # DuckDB resolves unqualified names to *real columns in scope* before
-    # lateral aliases; in the recursive branch the CTE's own columns
-    # (c.tr, c.atr, ...) are in scope, so computed aliases there must use
-    # non-colliding n_-prefixed names.  UNION ALL matches positionally and
-    # the CTE's column names come from the anchor, so the prefix never
-    # leaks into the output.
+    atr_k = "(a.s + e.s) / CAST(a.k + 1 AS DOUBLE)"
+    fold = (
+        "list_reduce(list_transform(list_reverse(tr_list), "
+        "v -> {'mn': v / 1.0::DOUBLE, 'mx': v / 1.0::DOUBLE, "
+        "'s': v, 'k': 1::BIGINT}), "
+        "(a, e) -> {'mn': CASE WHEN " + atr_k + " < a.mn THEN " + atr_k +
+        " ELSE a.mn END, "
+        "'mx': CASE WHEN " + atr_k + " > a.mx THEN " + atr_k +
+        " ELSE a.mx END, "
+        "'s': a.s + e.s, 'k': a.k + 1})")
+
     def branch(first: bool) -> str:
-        n = "" if first else "n_"
-        if from_tokens:
-            if first:
-                price = f"""
-    b.step AS {n}csum,
-    100.0::DOUBLE + b.step AS {n}close,
-    (100.0::DOUBLE + b.step) + b.hi_off AS {n}high,
-    (100.0::DOUBLE + b.step) - b.lo_off AS {n}low,"""
-            else:
-                price = f"""
-    c.csum + b.step AS {n}csum,
-    100.0::DOUBLE + (c.csum + b.step) AS {n}close,
-    (100.0::DOUBLE + (c.csum + b.step)) + b.hi_off AS {n}high,
-    (100.0::DOUBLE + (c.csum + b.step)) - b.lo_off AS {n}low,"""
-            extra = "b.token, b.avail,"
-        else:
-            price = f"""
-    0.0::DOUBLE AS {n}csum,
-    b.close AS {n}close, b.high AS {n}high, b.low AS {n}low,"""
-            extra = ""
+        # innermost scope: bars row b (+ previous state c on the recursive
+        # side, renamed p_*) — every later level only references the
+        # previous level's materialized columns.
         if first:
-            tr = f"{n}high - {n}low AS {n}tr"
-            tr_list = f"[{n}tr] AS {n}tr_list"
-            tr_sum = f"{n}tr AS {n}tr_sum"
-            prev = {"L0": "0.0::DOUBLE", "L1": "0.0::DOUBLE",
-                    "L2": "0.0::DOUBLE", "L3": "0.0::DOUBLE"}
-            minmax = (f"{n}atr AS {n}min_atr", f"{n}atr AS {n}max_atr")
-            vel = f"0.0::DOUBLE AS {n}vel"       # ch1[0] = rsi - rsi = 0
+            inner_cols = [f"b.{k} AS {k}" for k in keys]
+            if from_tokens:
+                inner_cols += ["b.step AS step", "b.hi_off AS hi_off",
+                               "b.lo_off AS lo_off"]
+            else:
+                inner_cols += ["b.close AS b_close", "b.high AS b_high",
+                               "b.low AS b_low"]
+            inner_from = f"{bars} b WHERE b.{idx} = 0"
         else:
-            tr = f"greatest({n}high, c.close) - least({n}low, c.close) AS {n}tr"
-            tr_list = f"(list_append(c.tr_list, {n}tr))[-{p}:] AS {n}tr_list"
-            tr_sum = (f"CASE WHEN len(c.tr_list) = {p} "
-                      f"THEN (c.tr_sum + {n}tr) - c.tr_list[1] "
-                      f"ELSE c.tr_sum + {n}tr END AS {n}tr_sum")
-            prev = {"L0": "c.L0", "L1": "c.L1", "L2": "c.L2", "L3": "c.L3"}
-            minmax = (
-                f"CASE WHEN {n}buf_len < 2 THEN {n}atr ELSE list_min("
-                f"list_transform(range(1, {n}buf_len + 1), k -> "
-                f"list_reduce((list_reverse({n}tr_list))[1:k], (a,b) -> a + b)"
-                f" / CAST(k AS DOUBLE))) END AS {n}min_atr",
-                f"CASE WHEN {n}buf_len < 2 THEN {n}atr ELSE list_max("
-                f"list_transform(range(1, {n}buf_len + 1), k -> "
-                f"list_reduce((list_reverse({n}tr_list))[1:k], (a,b) -> a + b)"
-                f" / CAST(k AS DOUBLE))) END AS {n}max_atr")
-            vel = (f"(({n}rsi - c.rsi) * {alpha}) + (c.vel * {om_alpha}) "
-                   f"AS {n}vel")
-        return f"""
-  SELECT b.doc_id, b.source, b.{idx} AS {idx}, {extra}{price}
-    {tr},
-    {tr_list},
-    {tr_sum},
-    len({n}tr_list) AS {n}buf_len,
-    {n}tr_sum / CAST({n}buf_len AS DOUBLE) AS {n}atr,
-    {minmax[0]},
-    {minmax[1]},
-    CASE WHEN {n}max_atr > {n}atr THEN {n}max_atr ELSE {n}atr END AS {n}mx,
-    CASE WHEN {n}min_atr < {n}atr THEN {n}min_atr ELSE {n}atr END AS {n}mn,
-    CASE WHEN {n}mn = {n}mx THEN 0.5::DOUBLE
-         ELSE 1.0::DOUBLE - ({n}atr - {n}mn) / ({n}mx - {n}mn) END AS {n}adaptive_coeff,
-    {base_p} * ({n}adaptive_coeff + {off}) AS {n}period,
-    1.0::DOUBLE - 10.0::DOUBLE / ({n}period + 9.0::DOUBLE) AS {n}gamma,
-    {n}close + {n}gamma * ({prev['L0']} - {n}close) AS {n}L0,
-    {prev['L0']} + {n}gamma * ({prev['L1']} - {n}L0) AS {n}L1,
-    {prev['L1']} + {n}gamma * ({prev['L2']} - {n}L1) AS {n}L2,
-    {prev['L2']} + {n}gamma * ({prev['L3']} - {n}L2) AS {n}L3,
-    (CASE WHEN {n}L0 >= {n}L1 THEN {n}L0 - {n}L1 ELSE 0.0::DOUBLE END)
-      + (CASE WHEN {n}L1 >= {n}L2 THEN {n}L1 - {n}L2 ELSE 0.0::DOUBLE END)
-      + (CASE WHEN {n}L2 >= {n}L3 THEN {n}L2 - {n}L3 ELSE 0.0::DOUBLE END) AS {n}cu,
-    (CASE WHEN {n}L0 >= {n}L1 THEN 0.0::DOUBLE ELSE {n}L1 - {n}L0 END)
-      + (CASE WHEN {n}L1 >= {n}L2 THEN 0.0::DOUBLE ELSE {n}L2 - {n}L1 END)
-      + (CASE WHEN {n}L2 >= {n}L3 THEN 0.0::DOUBLE ELSE {n}L3 - {n}L2 END) AS {n}cd,
-    CASE WHEN {n}cu + {n}cd = 0.0::DOUBLE THEN 0.0::DOUBLE
-         ELSE {n}cu / ({n}cu + {n}cd) END AS {n}rsi,
-    {vel}"""
+            inner_cols = [f"b.{k} AS {k}" for k in keys]
+            if from_tokens:
+                inner_cols += ["b.step AS step", "b.hi_off AS hi_off",
+                               "b.lo_off AS lo_off", "c.csum AS p_csum"]
+            else:
+                inner_cols += ["b.close AS b_close", "b.high AS b_high",
+                               "b.low AS b_low"]
+            inner_cols += [
+                "c.close AS p_close", "c.tr_list AS p_tr_list",
+                "c.tr_sum AS p_tr_sum", "c.L0 AS p_L0", "c.L1 AS p_L1",
+                "c.L2 AS p_L2", "c.L3 AS p_L3", "c.rsi AS p_rsi",
+                "c.vel AS p_vel"]
+            inner_from = (f"{name} c JOIN {bars} b ON b.doc_id = c.doc_id "
+                          f"AND b.{idx} = c.{idx} + 1")
+
+        # dependency levels: each entry is [(col, expr), ...] where exprs
+        # reference only columns materialized by earlier levels.
+        levels: list[list[tuple[str, str]]] = []
+        if from_tokens:
+            levels.append([("csum", "step" if first else "p_csum + step")])
+            levels.append([("close", "100.0::DOUBLE + csum")])
+            levels.append([("high", "close + hi_off"),
+                           ("low", "close - lo_off")])
+        else:
+            levels.append([("close", "b_close"), ("high", "b_high"),
+                           ("low", "b_low")])
+        if first:
+            levels.append([("tr", "high - low")])
+            levels.append([("tr_list", "[tr]"), ("tr_sum", "tr")])
+        else:
+            levels.append([("tr", "greatest(high, p_close) "
+                                  "- least(low, p_close)")])
+            levels.append([
+                ("tr_list", f"(list_append(p_tr_list, tr))[-{p}:]"),
+                ("tr_sum", f"CASE WHEN len(p_tr_list) = {p} "
+                           f"THEN (p_tr_sum + tr) - p_tr_list[1] "
+                           f"ELSE p_tr_sum + tr END")])
+        levels.append([("buf_len", "len(tr_list)")])
+        levels.append([("atr", "tr_sum / CAST(buf_len AS DOUBLE)"),
+                       ("mm", "CASE WHEN buf_len < 2 THEN NULL "
+                              f"ELSE {fold} END")])
+        levels.append([
+            ("min_atr", "CASE WHEN buf_len < 2 THEN atr ELSE (mm).mn END"),
+            ("max_atr", "CASE WHEN buf_len < 2 THEN atr ELSE (mm).mx END")])
+        levels.append([
+            ("mx", "CASE WHEN max_atr > atr THEN max_atr ELSE atr END"),
+            ("mn", "CASE WHEN min_atr < atr THEN min_atr ELSE atr END")])
+        levels.append([("adaptive_coeff",
+                        "CASE WHEN mn = mx THEN 0.5::DOUBLE ELSE "
+                        "1.0::DOUBLE - (atr - mn) / (mx - mn) END")])
+        levels.append([("period", f"{base_p} * (adaptive_coeff + {off})")])
+        levels.append([("gamma",
+                        "1.0::DOUBLE - 10.0::DOUBLE / (period + 9.0::DOUBLE)")])
+        pl = {"L0": "0.0::DOUBLE", "L1": "0.0::DOUBLE",
+              "L2": "0.0::DOUBLE", "L3": "0.0::DOUBLE"} if first else \
+             {"L0": "p_L0", "L1": "p_L1", "L2": "p_L2", "L3": "p_L3"}
+        levels.append([("L0", f"close + gamma * ({pl['L0']} - close)")])
+        levels.append([("L1", f"{pl['L0']} + gamma * ({pl['L1']} - L0)")])
+        levels.append([("L2", f"{pl['L1']} + gamma * ({pl['L2']} - L1)")])
+        levels.append([("L3", f"{pl['L2']} + gamma * ({pl['L3']} - L2)")])
+        levels.append([
+            ("cu", "(CASE WHEN L0 >= L1 THEN L0 - L1 ELSE 0.0::DOUBLE END)"
+                   " + (CASE WHEN L1 >= L2 THEN L1 - L2 ELSE 0.0::DOUBLE END)"
+                   " + (CASE WHEN L2 >= L3 THEN L2 - L3 ELSE 0.0::DOUBLE END)"),
+            ("cd", "(CASE WHEN L0 >= L1 THEN 0.0::DOUBLE ELSE L1 - L0 END)"
+                   " + (CASE WHEN L1 >= L2 THEN 0.0::DOUBLE ELSE L2 - L1 END)"
+                   " + (CASE WHEN L2 >= L3 THEN 0.0::DOUBLE ELSE L3 - L2 END)")])
+        levels.append([("rsi", "CASE WHEN cu + cd = 0.0::DOUBLE "
+                               "THEN 0.0::DOUBLE ELSE cu / (cu + cd) END")])
+        levels.append([("vel", "0.0::DOUBLE" if first else
+                        f"((rsi - p_rsi) * {alpha}) + (p_vel * {om_alpha})")])
+
+        sql = f"SELECT {', '.join(inner_cols)} FROM {inner_from}"
+        for lv in levels:
+            cols = ", ".join(f"{e} AS {c}" for c, e in lv)
+            sql = f"SELECT *, {cols} FROM ({sql})"
+        out_cols = ", ".join(keys + carry)
+        return f"SELECT {out_cols} FROM ({sql})"
 
     return f"""
-{name} AS ({branch(True)}
-  FROM {bars} b WHERE b.{idx} = 0
-  UNION ALL{branch(False)}
-  FROM {name} c JOIN {bars} b
-    ON b.doc_id = c.doc_id AND b.{idx} = c.{idx} + 1
+{name} AS (
+  {branch(True)}
+  UNION ALL
+  {branch(False)}
 )"""
 
 
@@ -389,6 +423,218 @@ def expander_ctes(core: str, pre: str, idx: str = "i") -> tuple[str, str]:
   FROM {x3} c
 )"""
     return sql, x4
+
+
+# ---------------------------------------------------------------------------
+# multi-interval (121-column) pipeline
+# ---------------------------------------------------------------------------
+
+M1, M2 = 3, 12      # multipliers used by the flagship queries
+
+
+def _resample_cte(name: str, m: int) -> str:
+    """Positional tumbling resample of the base grid, complete windows
+    only (``multi_interval_batched._resample_hlc``): high=max, low=min,
+    close=last; trailing partials dropped via the count gate."""
+    return f"""
+{name} AS MATERIALIZED (
+  SELECT doc_id, source, CAST(i // {m} AS INT) AS i,
+         max(high) AS high, min(low) AS low, arg_max(close, i) AS close
+  FROM core GROUP BY doc_id, source, i // {m} HAVING count(*) = {m}
+)"""
+
+
+def _aligned_cte(availability: bool) -> str:
+    """Join the three grains onto the base grid.
+
+    Positional (``_align_gather_idx``): base row i -> mult row
+    least(i, n_m - 1).  Availability (``_align_gather_idx_avail``):
+    resampled bar j becomes available at the availability of its last
+    constituent base bar; base row i maps to the last mult bar with
+    availability *strictly below* its own, clamped into range.  Docs with
+    no complete window get NaN mult features (numpy comparison semantics
+    downstream need real NaN, not NULL, hence the COALESCE)."""
+    nm = {"gamma_value": "gamma", "rsi_velocity": "vel"}
+    base_cols = ",\n    ".join(
+        f"b.{nm.get(c, c)} AS {c}_base" for c in FEATURE_COLUMNS)
+    m1_cols = ",\n    ".join(
+        f"COALESCE(f1.{nm.get(c, c)}, 'NaN'::DOUBLE) AS {c}_mult1"
+        for c in FEATURE_COLUMNS)
+    m2_cols = ",\n    ".join(
+        f"COALESCE(f2.{nm.get(c, c)}, 'NaN'::DOUBLE) AS {c}_mult2"
+        for c in FEATURE_COLUMNS)
+    pre = """
+lens1 AS (SELECT doc_id, count(*) AS n FROM core_m1 GROUP BY doc_id),
+lens2 AS (SELECT doc_id, count(*) AS n FROM core_m2 GROUP BY doc_id)"""
+    if availability:
+        pre += f""",
+avm1 AS MATERIALIZED (
+  SELECT c.doc_id, c.i AS j, b.avail AS avail_m
+  FROM core_m1 c JOIN core b
+    ON b.doc_id = c.doc_id AND b.i = (c.i + 1) * {M1} - 1
+),
+avm2 AS MATERIALIZED (
+  SELECT c.doc_id, c.i AS j, b.avail AS avail_m
+  FROM core_m2 c JOIN core b
+    ON b.doc_id = c.doc_id AND b.i = (c.i + 1) * {M2} - 1
+),
+aidx1 AS MATERIALIZED (
+  SELECT b.doc_id, b.i, count(a.avail_m) AS cnt
+  FROM core b LEFT JOIN avm1 a
+    ON a.doc_id = b.doc_id AND a.avail_m < b.avail
+  GROUP BY b.doc_id, b.i
+),
+aidx2 AS MATERIALIZED (
+  SELECT b.doc_id, b.i, count(a.avail_m) AS cnt
+  FROM core b LEFT JOIN avm2 a
+    ON a.doc_id = b.doc_id AND a.avail_m < b.avail
+  GROUP BY b.doc_id, b.i
+)"""
+        j1 = ("JOIN aidx1 a1 ON a1.doc_id = b.doc_id AND a1.i = b.i\n"
+              "  JOIN aidx2 a2 ON a2.doc_id = b.doc_id AND a2.i = b.i\n"
+              "  LEFT JOIN fe1_x4 f1 ON f1.doc_id = b.doc_id "
+              "AND f1.i = greatest(least(a1.cnt - 1, l1.n - 1), 0)\n"
+              "  LEFT JOIN fe2_x4 f2 ON f2.doc_id = b.doc_id "
+              "AND f2.i = greatest(least(a2.cnt - 1, l2.n - 1), 0)")
+    else:
+        j1 = ("LEFT JOIN fe1_x4 f1 ON f1.doc_id = b.doc_id "
+              "AND f1.i = least(b.i, l1.n - 1)\n"
+              "  LEFT JOIN fe2_x4 f2 ON f2.doc_id = b.doc_id "
+              "AND f2.i = least(b.i, l2.n - 1)")
+    return f"""{pre},
+al AS (
+  SELECT b.doc_id, b.source, b.i, b.token,
+    {base_cols},
+    {m1_cols},
+    {m2_cols}
+  FROM feb_x4 b
+  LEFT JOIN lens1 l1 ON l1.doc_id = b.doc_id
+  LEFT JOIN lens2 l2 ON l2.doc_id = b.doc_id
+  {j1}
+)"""
+
+
+def _interaction_ctes() -> str:
+    """The 40 cross-interval interactions over the aligned grid
+    (``multi_interval_batched._interactions_2d``), with numpy NaN
+    comparison semantics restored via the isnan-guard helpers."""
+    w = "PARTITION BY doc_id ORDER BY i"
+    cum = f"{w} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    rb, r1, r2 = "regime_base", "regime_mult1", "regime_mult2"
+    ib, i1, i2 = "rsi_base", "rsi_mult1", "rsi_mult2"
+    chb, ch1, ch2 = "rsi_change_1_base", "rsi_change_1_mult1", "rsi_change_1_mult2"
+    cob, co1, co2 = ("cross_below_overbought_base", "cross_below_overbought_mult1",
+                     "cross_below_overbought_mult2")
+    csb, cs1, cs2 = ("cross_above_oversold_base", "cross_above_oversold_mult1",
+                     "cross_above_oversold_mult2")
+    bib, bi2 = "bars_in_regime_base", "bars_in_regime_mult2"
+    rcb, rc1, rc2 = ("regime_changed_base", "regime_changed_mult1",
+                     "regime_changed_mult2")
+    one = "1.0::DOUBLE"
+    return f"""
+it1 AS (
+  SELECT c.*,
+    COALESCE(lag({cs2}, 2) OVER ({w}), 0.0::DOUBLE) AS q_cs2s2,
+    COALESCE(lag({cs1}, 1) OVER ({w}), 0.0::DOUBLE) AS q_cs1s1,
+    COALESCE(lag({co2}, 2) OVER ({w}), 0.0::DOUBLE) AS q_co2s2,
+    COALESCE(lag({co1}, 1) OVER ({w}), 0.0::DOUBLE) AS q_co1s1,
+    COALESCE(sum({cs2}) OVER ({w} ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING),
+             0.0::DOUBLE) AS q_rec10,
+    COALESCE(sum({rc2}) OVER ({w} ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING),
+             0.0::DOUBLE) AS q_rec5,
+    {rb} = {r1} AS q_bm1,
+    {rb} = {r2} AS q_bm2,
+    {_eqnan(r1, r2)} AS q_m1m2,
+    q_bm1 AND q_m1m2 AS q_unan
+  FROM al c
+),
+it2 AS (
+  SELECT c.*,
+    sum(CASE WHEN NOT q_unan THEN 1 ELSE 0 END) OVER ({cum}) AS q_cumnot_u,
+    sum(CASE WHEN q_unan THEN 1 ELSE 0 END) OVER ({cum}) AS q_cum_u,
+    {_b(f"{rb} = 2.0::DOUBLE AND {r1} = 2.0::DOUBLE AND {r2} = 2.0::DOUBLE")} AS all_intervals_bullish,
+    {_b(f"{rb} = 0.0::DOUBLE AND {r1} = 0.0::DOUBLE AND {r2} = 0.0::DOUBLE")} AS all_intervals_bearish,
+    {_b(f"{rb} = 1.0::DOUBLE AND {r1} = 1.0::DOUBLE AND {r2} = 1.0::DOUBLE")} AS all_intervals_neutral,
+    CASE WHEN q_bm1 AND q_bm2 THEN 3.0::DOUBLE
+         WHEN q_bm1 OR q_bm2 OR q_m1m2 THEN 2.0::DOUBLE
+         ELSE {one} END AS regime_agreement_count,
+    CASE WHEN q_bm1 THEN {rb} WHEN q_bm2 THEN {rb} WHEN q_m1m2 THEN {r1}
+         ELSE {_nmin(_nmin(rb, r1), r2)} END AS regime_majority,
+    {_b("q_bm1 AND q_bm2")} AS regime_unanimity,
+    {_b(f"{rb} = 2.0::DOUBLE AND ({r1} = 0.0::DOUBLE OR {r2} = 0.0::DOUBLE)")} AS base_bull_higher_bear,
+    {_b(f"{rb} = 0.0::DOUBLE AND ({r1} = 2.0::DOUBLE OR {r2} = 2.0::DOUBLE)")} AS base_bear_higher_bull,
+    greatest(greatest({ib}, {i1}), {i2})
+      - {_nmin(_nmin(ib, i1), i2)} AS divergence_strength,
+    {_sgn(f"{ib} - {i2}")} AS divergence_direction,
+    {_b(f"({rb} = 0.0::DOUBLE OR {rb} = 2.0::DOUBLE) AND {r2} = 1.0::DOUBLE")} AS base_extreme_higher_neutral,
+    {_b(f"{rb} = 1.0::DOUBLE AND ({r2} = 0.0::DOUBLE OR {r2} = 2.0::DOUBLE)")} AS base_neutral_higher_extreme,
+    {_b(_gt(ib, i1) + " AND " + _gt(i1, i2))} AS gradient_up,
+    {_b(_lt(ib, i1) + " AND " + _lt(i1, i2))} AS gradient_down,
+    {ib} - {i1} AS rsi_spread_base_mult1,
+    {ib} - {i2} AS rsi_spread_base_mult2,
+    {i1} - {i2} AS rsi_spread_mult1_mult2,
+    {_sgn(f"{ib} - {i2}")} AS momentum_direction,
+    abs({ib} - {i2}) AS momentum_magnitude,
+    {_b(_eqnan(_sgn(chb), _sgn(ch2)))} AS momentum_consistency,
+    {_b(f"{cob} = {one} OR {co1} = {one} OR {co2} = {one}")} AS any_interval_crossed_overbought,
+    {_b(f"{cob} = {one} AND {co1} = {one} AND {co2} = {one}")} AS all_intervals_crossed_overbought,
+    {_b(f"{csb} = {one} OR {cs1} = {one} OR {cs2} = {one}")} AS any_interval_crossed_oversold,
+    {_b(f"{csb} = {one} AND {cs1} = {one} AND {cs2} = {one}")} AS all_intervals_crossed_oversold,
+    {_b(f"{csb} = {one} AND ({r2} = 0.0::DOUBLE OR {r2} = 2.0::DOUBLE)")} AS base_crossed_while_higher_extreme,
+    {_b(f"q_cs2s2 = {one} AND q_cs1s1 = {one} AND {csb} = {one}")} AS cascade_crossing_up,
+    {_b(f"q_co2s2 = {one} AND q_co1s1 = {one} AND {cob} = {one}")} AS cascade_crossing_down,
+    {_b(f"{csb} = {one} AND " + _gt("q_rec10", "0.0::DOUBLE"))} AS higher_crossed_first,
+    {bib} / (CASE WHEN {bi2} = 0.0::DOUBLE THEN {one} ELSE {bi2} END) AS regime_persistence_ratio,
+    {_b(f"{rcb} = {one} AND " + _gt("q_rec5", "0.0::DOUBLE"))} AS regime_change_cascade,
+    {one} - (({rcb} + {rc1}) + {rc2}) / 3.0::DOUBLE AS regime_stability_score,
+    {_b(f"{rcb} = {one} AND " + _gt("q_rec5", "0.0::DOUBLE"))} AS higher_interval_leads,
+    (({rcb} * 4.0::DOUBLE) + ({rc1} * 2.0::DOUBLE)) + {rc2} AS regime_transition_pattern,
+    (({ib} + {i1}) + {i2}) / 3.0::DOUBLE AS mean_rsi_across_intervals,
+    sqrt(((({ib} - mean_rsi_across_intervals) * ({ib} - mean_rsi_across_intervals)
+          + ({i1} - mean_rsi_across_intervals) * ({i1} - mean_rsi_across_intervals))
+          + ({i2} - mean_rsi_across_intervals) * ({i2} - mean_rsi_across_intervals))
+         / 2.0::DOUBLE) AS std_rsi_across_intervals,
+    greatest(greatest({ib}, {i1}), {i2})
+      - {_nmin(_nmin(ib, i1), i2)} AS rsi_range_across_intervals,
+    ({ib} - mean_rsi_across_intervals)
+      / (CASE WHEN std_rsi_across_intervals = 0.0::DOUBLE THEN {one}
+              ELSE std_rsi_across_intervals END) AS rsi_skew_across_intervals,
+    ({_b(_gt(chb, "0.0::DOUBLE"))} + {_b(_gt(ch1, "0.0::DOUBLE"))})
+      + {_b(_gt(ch2, "0.0::DOUBLE"))} AS interval_momentum_agreement
+  FROM it1 c
+),
+it3 AS (
+  SELECT c.*,
+    max(CASE WHEN q_unan THEN q_cumnot_u ELSE 0 END) OVER ({cum}) AS q_reset_u,
+    max(CASE WHEN NOT q_unan THEN q_cum_u ELSE 0 END) OVER ({cum}) AS q_reset2_u,
+    CAST(q_cumnot_u - q_reset_u AS DOUBLE) AS bars_since_alignment,
+    CAST(q_cum_u - q_reset2_u AS DOUBLE) AS alignment_duration
+  FROM it2 c
+)"""
+
+
+def oracle_features_121(availability: bool = False) -> str:
+    """Twin of ``queries.q_features_121`` / ``q_features_121_availability``
+    (quantized to 1e-6)."""
+    exp_b, _ = expander_ctes("core", "feb", "i")
+    exp_1, _ = expander_ctes("core_m1", "fe1", "i")
+    exp_2, _ = expander_ctes("core_m2", "fe2", "i")
+    # the aligned CTE already emits feature-named {col}_{grain} columns
+    cols = ",\n       ".join(f"{_r6(c)} AS {c}"
+                             for c in multi_interval_columns(True))
+    return f"""
+WITH RECURSIVE {bars_cte()},
+{core_cte('core_r', 'bars')},
+core AS MATERIALIZED (SELECT * FROM core_r),{exp_b},{_resample_cte('bars_m1', M1)},{_resample_cte('bars_m2', M2)},
+{core_cte('core_m1_r', 'bars_m1', from_tokens=False)},
+core_m1 AS MATERIALIZED (SELECT * FROM core_m1_r),{exp_1},
+{core_cte('core_m2_r', 'bars_m2', from_tokens=False)},
+core_m2 AS MATERIALIZED (SELECT * FROM core_m2_r),{exp_2},{_aligned_cte(availability)},{_interaction_ctes()}
+SELECT source, doc_id, i AS "offset", token,
+       {cols}
+FROM it3
+ORDER BY doc_id, "offset"
+"""
 
 
 def oracle_features_43() -> str:

@@ -52,10 +52,15 @@ def _us(col):
 def _quantized(df: DataFrame) -> DataFrame:
     """Quantize every double column through the cross-engine rounder so
     the exact value hash tolerates sub-1e-6 op-order residue; key columns
-    pass through untouched."""
+    pass through untouched.  NaN must bypass the rounder: Spark's
+    floor(double) returns BIGINT, which silently turns NaN into 0
+    (DuckDB's floor keeps NaN a double)."""
+    def q(name):
+        c = F.col(name)
+        return F.when(F.isnan(c), c).otherwise(_r6(c)).alias(name)
+
     return df.select(*[
-        _r6(F.col(f.name)).alias(f.name) if f.dataType.simpleString() == "double"
-        else F.col(f.name)
+        q(f.name) if f.dataType.simpleString() == "double" else F.col(f.name)
         for f in df.schema.fields])
 
 
@@ -532,6 +537,8 @@ def _merge_flagship_oracles() -> None:
 
     ORACLES["core_rsi_features"] = _o.oracle_core_rsi()
     ORACLES["features_43_single_interval"] = _o.oracle_features_43()
+    ORACLES["features_121_multi_interval"] = _o.oracle_features_121(False)
+    ORACLES["features_121_availability"] = _o.oracle_features_121(True)
 
 
 ORACLES: dict[str, str] = {
