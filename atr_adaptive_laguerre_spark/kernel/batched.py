@@ -313,3 +313,134 @@ def core_loop_batched(high: np.ndarray, low: np.ndarray, close: np.ndarray,
     if copy_out:
         out = {k: v.copy() for k, v in out.items()}
     return out
+
+
+def core_loop_resumed(high: np.ndarray, low: np.ndarray, close: np.ndarray,
+                      st: dict, atr_period: int,
+                      adaptive_offset: float = 0.75) -> dict[str, np.ndarray]:
+    """Resume the C1-C8 recurrence for ONE entity from saved streaming
+    state and advance it over a micro-batch, vectorized.
+
+    ``st`` is the streaming state dict (see ``streaming/stateful.py``):
+    {prev_close, seen, tr_buf (ring list of p), buf_head, buf_len, tr_sum,
+    l0..l3}; it is mutated in place to the post-batch state (ring buffer
+    normalized to oldest-first order with ``buf_head = buf_len % p``,
+    which preserves the ring invariants the scalar ``step()`` relies on).
+
+    Strategy: the O(p)-per-bar suffix-mean min/max and the element-wise
+    coeff/gamma math run as numpy slab ops over the whole micro-batch
+    (history TRs prepended so early bars see their full window), while
+    the two O(1)-per-bar sequential chains (incremental tr_sum, Laguerre
+    cascade + RSI) run as tight Python-float loops — bit-identical IEEE
+    ops either way, ~30x faster than per-row ``step()`` on 10k-bar
+    batches.  Used by the streaming path; parity vs ``step()`` is pinned
+    by tests.
+    """
+    p = int(atr_period)
+    n = len(close)
+    if n == 0:
+        return {k: np.empty(0) for k in
+                ("rsi", "adaptive_coeff", "gamma", "L0", "L1", "L2", "L3",
+                 "min_atr", "max_atr", "atr")}
+    high = np.asarray(high, dtype=np.float64)
+    low = np.asarray(low, dtype=np.float64)
+    close = np.asarray(close, dtype=np.float64)
+
+    # C1 true range (vectorized; first bar needs state)
+    tr = np.empty(n)
+    if st["seen"]:
+        pc = st["prev_close"]
+        tr[0] = max(high[0], pc) - min(low[0], pc)
+    else:
+        tr[0] = high[0] - low[0]
+    if n > 1:
+        np.subtract(np.maximum(high[1:], close[:-1]),
+                    np.minimum(low[1:], close[:-1]), out=tr[1:])
+
+    # history TRs, oldest first (all TRs seen when < p, else last p)
+    buf, head, blen = st["tr_buf"], st["buf_head"], st["buf_len"]
+    hist = [float(buf[(head - k) % p]) for k in range(blen, 0, -1)]
+    h_n = len(hist)
+    combined = np.concatenate([np.asarray(hist), tr]) if h_n else tr
+
+    # C2 incremental ATR — sequential tr_sum chain on Python floats
+    # (same (tr_sum + tr) - old op order as step()/_atr_incremental);
+    # warm-up rows peeled off so the steady-state loop is a bare zip
+    comb_l = combined.tolist()
+    tr_sum = float(st["tr_sum"])
+    blen_c = blen
+    atr_l = []
+    append = atr_l.append
+    i = 0
+    while i < n and blen_c < p:          # warm-up: window still filling
+        tr_sum += comb_l[h_n + i]
+        blen_c += 1
+        append(tr_sum / blen_c)
+        i += 1
+    if i < n:
+        pf = float(p)
+        for tr_i, old in zip(comb_l[h_n + i:], comb_l[h_n + i - p: -p]):
+            tr_sum = (tr_sum + tr_i) - old
+            append(tr_sum / pf)
+    atr = np.asarray(atr_l)
+
+    # C3 suffix-mean min/max over the combined series, sliced to the new
+    # bars (same newest-to-oldest accumulation as _atr_minmax)
+    ws = get_workspace(max(DEFAULT_CELLS, len(combined)))
+    comb2 = combined[None, :]
+    mn2, mx2 = _atr_minmax(comb2, p, ws, 1, len(combined))
+    min_atr = mn2[0, h_n:].copy()
+    max_atr = mx2[0, h_n:].copy()
+
+    # C4/C5 coeff + gamma (element-wise, same ops as core_loop_batched)
+    _max = np.maximum(max_atr, atr)
+    _min = np.minimum(min_atr, atr)
+    span = _max - _min
+    degenerate = span == 0.0
+    span[degenerate] = 1.0
+    coeff = 1.0 - (atr - _min) / span
+    coeff[degenerate] = 0.5
+    gamma = 1.0 - 10.0 / ((coeff + adaptive_offset) * float(p) + 9.0)
+
+    # C6 cascade — the only irreducibly sequential chain; tight
+    # Python-float loop (zip + bound appends: ~2x over index writes)
+    l0, l1, l2, l3 = st["l0"], st["l1"], st["l2"], st["l3"]
+    L0 = []; L1 = []; L2 = []; L3 = []
+    a0 = L0.append; a1 = L1.append; a2 = L2.append; a3 = L3.append
+    for c, g in zip(close.tolist(), gamma.tolist()):
+        p0, p1, p2 = l0, l1, l2
+        l0 = c + g * (l0 - c)
+        l1 = p0 + g * (l1 - l0)
+        l2 = p1 + g * (l2 - l1)
+        l3 = p2 + g * (l3 - l2)
+        a0(l0); a1(l1); a2(l2); a3(l3)
+    L0 = np.asarray(L0); L1 = np.asarray(L1)
+    L2 = np.asarray(L2); L3 = np.asarray(L3)
+
+    # C7 RSI — vectorized, same addition order as core_loop_batched
+    # (cu += max(d,0), cd += max(-d,0) per stage pair)
+    d01 = L0 - L1
+    d12 = L1 - L2
+    d23 = L2 - L3
+    cu = np.maximum(d01, 0.0) + np.maximum(d12, 0.0) + np.maximum(d23, 0.0)
+    cd = np.maximum(-d01, 0.0) + np.maximum(-d12, 0.0) + np.maximum(-d23, 0.0)
+    tot = cu + cd
+    flat = tot == 0.0
+    tot[flat] = 1.0
+    rsi = cu / tot
+    rsi[flat] = 0.0
+
+    # write back normalized state (oldest-first ring)
+    tail = comb_l[-min(blen_c, p):]
+    st["tr_buf"] = tail + [0.0] * (p - len(tail))
+    st["buf_head"] = blen_c % p if blen_c < p else 0
+    st["buf_len"] = blen_c
+    st["tr_sum"] = tr_sum
+    st["prev_close"] = float(close[-1])
+    st["seen"] = 1
+    st["l0"], st["l1"], st["l2"], st["l3"] = l0, l1, l2, l3
+
+    return {"rsi": np.asarray(rsi), "adaptive_coeff": coeff, "gamma": gamma,
+            "L0": np.asarray(L0), "L1": np.asarray(L1),
+            "L2": np.asarray(L2), "L3": np.asarray(L3),
+            "min_atr": min_atr, "max_atr": max_atr, "atr": atr}

@@ -108,13 +108,34 @@ def step(state: dict, h: float, lo: float, c: float,
     return (rsi, coeff, gamma, l0, l1, l2, l3, min_atr, max_atr, atr)
 
 
-def make_update_fn(cfg: FeatureConfig):
-    """Build the applyInPandasWithState function."""
+def make_update_fn(cfg: FeatureConfig, ttl_ms: int | None = None):
+    """Build the applyInPandasWithState function.
+
+    With ``ttl_ms``, idle entities are evicted (S3): each invocation arms
+    a processing-time timeout; when it fires (a later micro-batch runs
+    after the duration with no data for the key), the state is removed,
+    and the entity re-initializes from scratch on its next bar — the
+    streaming analogue of the reference's ``reset()``
+    (``core/atr.py:95-101``, ``features/atr_adaptive_rsi.py:674-690``).
+
+    Each group's micro-batch is processed *vectorized* by the batched
+    kernel's resume-from-state entry point
+    (``kernel.batched.core_loop_resumed``) — bit-identical to the scalar
+    ``step()`` path (tested), ~30x faster per bar.  ``step()`` remains
+    the per-bar oracle for tests and documentation.
+    """
+    from atr_adaptive_laguerre_spark.kernel.batched import core_loop_resumed
+
     p = cfg.atr_period
     off = cfg.adaptive_offset
+    cols = ["rsi", "adaptive_coeff", "gamma", "L0", "L1", "L2", "L3",
+            "min_atr", "max_atr", "atr"]
 
     def fn(key, pdf_iter, state):
         source, doc_id = key
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()          # S3 eviction: idle entity forgotten
+            return
         if state.exists:
             (prev_close, seen, tr_buf, buf_head, buf_len, tr_sum,
              l0, l1, l2, l3, last_offset) = state.get
@@ -128,25 +149,35 @@ def make_update_fn(cfg: FeatureConfig):
                   "l0": 0.0, "l1": 0.0, "l2": 0.0, "l3": 0.0}
             last_offset = -1
 
-        rows = []
         for pdf in pdf_iter:
             pdf = pdf.sort_values("offset", kind="stable")
-            for r in pdf.itertuples(index=False):
-                if r.offset <= last_offset:
-                    continue  # idempotent replay guard
-                outs = step(st, float(r.high), float(r.low),
-                            float(r.close), p, off)
-                last_offset = int(r.offset)
-                rows.append((source, doc_id, last_offset, *outs))
+            offs_all = pdf["offset"].to_numpy(dtype=np.int64)
+            # idempotent replay guard: drop already-seen offsets and
+            # within-batch duplicates (keep first occurrence)
+            keep = offs_all > last_offset
+            if len(offs_all) > 1:
+                keep[1:] &= offs_all[1:] > offs_all[:-1]
+            if not keep.all():
+                pdf = pdf[keep]
+            if len(pdf) == 0:
+                continue
+            offs = pdf["offset"].to_numpy(dtype=np.int64)
+            out = core_loop_resumed(
+                pdf["high"].to_numpy(dtype=np.float64),
+                pdf["low"].to_numpy(dtype=np.float64),
+                pdf["close"].to_numpy(dtype=np.float64), st, p, off)
+            last_offset = int(offs[-1])
+            res = pd.DataFrame({"source": source, "doc_id": doc_id,
+                                "offset": offs,
+                                **{c: out[c] for c in cols}})
+            yield res
 
         state.update((st["prev_close"], st["seen"], st["tr_buf"],
                       st["buf_head"], st["buf_len"], st["tr_sum"],
                       st["l0"], st["l1"], st["l2"], st["l3"],
                       int(last_offset)))
-        cols = ["source", "doc_id", "offset", "rsi", "adaptive_coeff",
-                "gamma", "L0", "L1", "L2", "L3", "min_atr", "max_atr",
-                "atr"]
-        yield pd.DataFrame(rows, columns=cols)
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
 
     return fn
 
@@ -157,7 +188,7 @@ INPUT_SCHEMA = ("source string, doc_id string, offset long, "
 
 def stream_rsi(spark, input_dir: str, output_dir: str,
                checkpoint_dir: str, cfg: FeatureConfig | None = None,
-               ) -> None:
+               ttl_ms: int | None = None) -> None:
     """One availableNow micro-batch pass over the file stream: reads new
     files from ``input_dir``, advances per-entity state (restored from
     ``checkpoint_dir``), appends results to ``output_dir``.  Call again
@@ -165,12 +196,56 @@ def stream_rsi(spark, input_dir: str, output_dir: str,
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     cfg = cfg or FeatureConfig()
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None
+               else GroupStateTimeout.NoTimeout)
     sdf = (spark.readStream.schema(INPUT_SCHEMA).parquet(input_dir))
     out = (sdf.groupBy("source", "doc_id")
            .applyInPandasWithState(
-               make_update_fn(cfg), OUTPUT_SCHEMA, STATE_SCHEMA,
-               "append", GroupStateTimeout.NoTimeout))
+               make_update_fn(cfg, ttl_ms), OUTPUT_SCHEMA, STATE_SCHEMA,
+               "append", timeout))
+    w = (out.writeStream.format("parquet")
+         .option("path", output_dir)
+         .option("checkpointLocation", checkpoint_dir))
+    if ttl_ms is not None:
+        # ProcessingTimeTimeout + availableNow never terminates (armed
+        # timeouts keep scheduling micro-batches); trigger-once processes
+        # everything available in ONE batch, firing timeouts that expired
+        # since the previous invocation, then stops.
+        w = w.trigger(once=True)
+    else:
+        w = w.trigger(availableNow=True)
+    q = w.start()
+    q.awaitTermination()
+
+
+TS_INPUT_SCHEMA = ("source string, doc_id string, ts timestamp, "
+                   "close double")
+
+
+def stream_windowed_stats(spark, input_dir: str, output_dir: str,
+                          checkpoint_dir: str,
+                          watermark: str = "1 minute",
+                          window: str = "5 minutes") -> None:
+    """Event-time tumbling-window aggregation with a watermark (S5):
+    bars later than ``watermark`` behind the stream's max event time are
+    DROPPED, and a window is emitted (append mode) only once the
+    watermark passes its end — Structured Streaming's late-data
+    semantics, the streaming twin of the batch resample (R1) with the
+    strict availability discipline (A2) enforced by the engine.
+    """
+    from pyspark.sql import functions as F
+
+    sdf = spark.readStream.schema(TS_INPUT_SCHEMA).parquet(input_dir)
+    out = (sdf.withWatermark("ts", watermark)
+           .groupBy(F.window("ts", window).alias("w"), "source")
+           .agg(F.count(F.lit(1)).alias("n_bars"),
+                F.avg("close").alias("avg_close"),
+                F.max("close").alias("max_close"))
+           .select(F.col("w.start").alias("w_start"),
+                   F.col("w.end").alias("w_end"),
+                   "source", "n_bars", "avg_close", "max_close"))
     q = (out.writeStream.format("parquet")
+         .outputMode("append")
          .option("path", output_dir)
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)
