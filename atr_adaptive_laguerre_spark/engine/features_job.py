@@ -302,7 +302,8 @@ def _flat_explode_idx_local(lengths: np.ndarray, t: int) -> np.ndarray:
 
 
 def features_long(doc_df: DataFrame, cfg: FeatureConfig | None = None,
-                  num_partitions: int | None = None) -> DataFrame:
+                  num_partitions: int | None = None,
+                  cell_budget: int = CELL_BUDGET) -> DataFrame:
     """Doc-grain input -> long-form full feature matrix.
 
     43 columns single-interval; 169/121 multi-interval (resample, align,
@@ -339,7 +340,8 @@ def features_long(doc_df: DataFrame, cfg: FeatureConfig | None = None,
         for rb in batches:
             src_col = rb.column(rb.schema.get_field_index("source"))
             did_col = rb.column(rb.schema.get_field_index("doc_id"))
-            for idx, chunk_flat, lens, mat, _fe in _arrow_doc_chunks(rb):
+            for idx, chunk_flat, lens, mat, _fe in _arrow_doc_chunks(
+                    rb, cell_budget):
                 high, low, close = tokens_to_ohlcv_batched(mat)
                 if cfg.is_multi_interval:
                     avail = (tokens_to_availability_batched(mat)
@@ -446,8 +448,15 @@ def features_checksum(doc_df: DataFrame, cfg: FeatureConfig | None = None,
     Every feature value is materialized in the worker exactly as in
     :func:`features_long`; only ~1 KB per chunk crosses to the JVM, so
     this job's throughput measures the compute fabric rather than the
-    single-box byte funnel.  ``agg(sum(...))`` over the result equals the
-    same aggregate over :func:`features_long` (tested).
+    single-box byte funnel.
+
+    Sums are ``nansum`` (multi-interval runs emit NaN mult columns for
+    docs shorter than the multiplier), so ``agg(sum(...))`` over
+    :func:`features_long` equals them only where Spark's NaN-propagating
+    sum sees no NaN; the ``n_nan`` column carries the per-chunk NaN count
+    across all feature columns so NaN corruption cannot pass unnoticed —
+    ``agg(sum(n_nan))`` must equal the isnan-count over
+    :func:`features_long` (tested on a corpus with short docs).
     """
     import pyarrow as pa
 
@@ -455,7 +464,7 @@ def features_checksum(doc_df: DataFrame, cfg: FeatureConfig | None = None,
     if num_partitions:
         doc_df = doc_df.repartition(num_partitions)
     feat_cols = feature_columns_for(cfg)
-    schema = ("n_rows long, " +
+    schema = ("n_rows long, n_nan long, " +
               ", ".join(f"{c}_sum double" for c in feat_cols))
 
     def run(batches):
@@ -479,11 +488,15 @@ def features_checksum(doc_df: DataFrame, cfg: FeatureConfig | None = None,
                 else:
                     cols = single_interval_long(high, low, close, lens, cfg,
                                                 pool=pool)
-                arrays = [pa.array([int(lens.sum())], pa.int64())]
+                n_nan = sum(int(np.isnan(cols[c]).sum())
+                            for c in feat_cols)
+                arrays = [pa.array([int(lens.sum())], pa.int64()),
+                          pa.array([n_nan], pa.int64())]
                 arrays += [pa.array([float(np.nansum(cols[c]))])
                            for c in feat_cols]
                 yield pa.RecordBatch.from_arrays(
-                    arrays, ["n_rows"] + [f"{c}_sum" for c in feat_cols])
+                    arrays,
+                    ["n_rows", "n_nan"] + [f"{c}_sum" for c in feat_cols])
 
     return doc_df.mapInArrow(run, schema=schema)
 

@@ -89,8 +89,19 @@ def run_resumable(spark: SparkSession, doc_df: DataFrame,
         wave_docs = docs.filter(F.col("bucket").isin([int(b) for b in wave]))
         feats = features_long(wave_docs.drop("bucket"), cfg)
         out = feats.withColumn("bucket", bucket_col(n_buckets))
-        (out.write.mode("append").partitionBy("bucket")
-            .parquet(output_dir))
+        # Idempotent wave commit: dynamic partition overwrite replaces
+        # exactly this wave's bucket directories and leaves the rest
+        # untouched, so a crash in the window between the output write
+        # and the manifest append cannot duplicate rows — the resumed
+        # run recomputes the unmarked bucket and *overwrites* it.
+        conf = "spark.sql.sources.partitionOverwriteMode"
+        prev_mode = spark.conf.get(conf, "static")
+        spark.conf.set(conf, "dynamic")
+        try:
+            (out.write.mode("overwrite").partitionBy("bucket")
+                .parquet(output_dir))
+        finally:
+            spark.conf.set(conf, prev_mode)
         wall = time.time() - t0
 
         # lineage + metrics per bucket (order-independent fingerprint:

@@ -53,7 +53,8 @@ class Workspace:
         self._flat: dict[str, np.ndarray] = {}
         for n in _SLABS:
             self._flat[n] = np.empty(cells, dtype=np.float64)
-        # state vectors sized to the max plausible batch width
+        # 8 per-batch state vectors; grown on demand (a chunk of very
+        # short docs can legally have more rows than cells//8)
         self._vec = np.empty(8 * 65536, dtype=np.float64)
 
     def grow(self, cells: int) -> None:
@@ -69,6 +70,11 @@ class Workspace:
         return buf[: b * t].reshape(b, t)
 
     def vec(self, i: int, b: int) -> np.ndarray:
+        # NOTE: growth is safe mid-kernel only because every caller asks
+        # for a consistent b within one kernel invocation — the first
+        # vec() call of an invocation resizes, later ones reuse.
+        if self._vec.size < 8 * b:
+            self._vec = np.empty(8 * b, dtype=np.float64)
         return self._vec[i * b: (i + 1) * b]
 
 

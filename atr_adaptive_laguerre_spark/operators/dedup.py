@@ -89,25 +89,23 @@ ORDER BY doc_id
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard near-dup pairs (a < b, jaccard >= 0.2):
-    explode shingles, self-join on shingle, |inter| from the join,
-    |union| = |A| + |B| - |inter|."""
+    """Word-3-gram Jaccard as the LSH *verification* stage: exact
+    |inter|/|union| computed only over the MinHash-LSH candidate pairs
+    (VERDICT r1 item 4 — the corpus-wide shingle self-join is quadratic
+    in docs per hot shingle; candidates are linear).  Per pair, the
+    intersection comes from array_intersect of the two distinct-shingle
+    sets — two doc_id-keyed joins, no all-pairs blow-up."""
     docs = _docs(spark, sf_dir)
+    cand = _lsh_candidate_pairs(docs)
     sh = docs.select("doc_id", shingles_col().alias("sh"))
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count(F.lit(1)).alias("n_inter")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"),
-                      F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"),
-                      F.col("n_sh").alias("n_b"))
-    jac = (inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    jac = (cand
+           .join(sh.select(F.col("doc_id").alias("doc_a"),
+                           F.col("sh").alias("sh_a")), "doc_a")
+           .join(sh.select(F.col("doc_id").alias("doc_b"),
+                           F.col("sh").alias("sh_b")), "doc_b")
+           .select("doc_a", "doc_b",
+                   F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+                   F.size("sh_a").alias("n_a"), F.size("sh_b").alias("n_b"))
            .withColumn("jaccard", F.col("n_inter")
                        / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))))
     return (jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -116,35 +114,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_a", "doc_b"))
 
 
-ORACLE_DEDUP_NGRAM_JACCARD = f"""
-WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
-  FROM documents
-), sh AS (
-  SELECT doc_id,
-         list_distinct([array_to_string(words[i:i+{NGRAM - 1}], ' ')
-                        for i in range(1, length(words) - {NGRAM - 2})])
-           AS shingles
-  FROM w
-), ex AS (
-  SELECT doc_id, unnest(shingles) AS s FROM sh
-), inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), sizes AS (
-  SELECT doc_id, length(shingles) AS n_sh FROM sh
-)
-SELECT doc_a, doc_b, n_inter,
-       FLOOR((n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter))
-             * 1000000 + 0.5) / 1000000 AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)
-      >= {JACCARD_THRESHOLD}
-ORDER BY doc_a, doc_b
-"""
+
 
 
 def _hash60(col, k: int):
@@ -153,11 +123,11 @@ def _hash60(col, k: int):
                   16, 10).cast("bigint")
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs: K=12 md5-derived minhashes per doc,
-    4 bands x 3 rows; docs sharing any band bucket are candidates.
-    Linear-cost candidate generation (no quadratic join)."""
-    docs = _docs(spark, sf_dir)
+def _lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash+LSH candidate pairs (doc_a < doc_b): K=12 md5-derived
+    minhashes per doc, 4 bands x 3 rows; docs sharing any band bucket
+    are candidates.  Linear-cost candidate generation (explode K rows/doc
+    + one shuffle on (band, bucket))."""
     sh = docs.select("doc_id", F.explode(shingles_col()).alias("s"))
     mh = sh.groupBy("doc_id").agg(
         *[F.min(_hash60(F.col("s"), k)).alias(f"mh{k}")
@@ -181,7 +151,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
              .distinct())
-    return pairs.orderBy("doc_a", "doc_b")
+    return pairs
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing MinHash+LSH candidate-pair query."""
+    return _lsh_candidate_pairs(_docs(spark, sf_dir)).orderBy("doc_a",
+                                                              "doc_b")
 
 
 def _mh_sql_cols() -> str:
@@ -201,6 +177,45 @@ def _band_selects() -> str:
                      f"FROM mh")
     return "\nUNION ALL\n".join(parts)
 
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), shl AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+{NGRAM - 1}], ' ')
+                        for i in range(1, length(words) - {NGRAM - 2})])
+           AS shingles
+  FROM w
+), sh AS (
+  SELECT doc_id, unnest(shingles) AS s FROM shl
+), mh AS (
+  SELECT doc_id,
+         {_mh_sql_cols()}
+  FROM sh
+  GROUP BY doc_id
+), bb AS (
+{_band_selects()}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bb a JOIN bb b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), j AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) AS n_inter,
+         len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
+  FROM cand
+  JOIN shl sa ON sa.doc_id = doc_a
+  JOIN shl sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, n_inter,
+       FLOOR((n_inter::DOUBLE / (n_a + n_b - n_inter))
+             * 1000000 + 0.5) / 1000000 AS jaccard
+FROM j
+WHERE n_inter::DOUBLE / (n_a + n_b - n_inter) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
 
 ORACLE_DEDUP_MINHASH_LSH = f"""
 WITH w AS (

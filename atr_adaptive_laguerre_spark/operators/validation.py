@@ -27,11 +27,14 @@ def _r6(col):
 
 
 def q_information_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type Spearman IC between value and the 5-step forward
-    value change of the same user (lead over the user-time window)."""
+    """Per-event-type Spearman IC between the feature (value) and the
+    k-step forward LOG return of the same user's series — the reference's
+    IC payload (``information_coefficient.py:106-113``: return[t] =
+    log(p[t+k]/p[t]), pairwise NaN drop, >= 30 valid pairs).  ``value``
+    is strictly positive in the events table, so the log is total."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    fwd = F.lead("value", FORWARD_K).over(w) - F.col("value")
+    fwd = F.log(F.lead("value", FORWARD_K).over(w) / F.col("value"))
     base = (ev.select("event_id", "event_type", "value", fwd.alias("fwd"))
             .filter(F.col("fwd").isNotNull()))
     wr = Window.partitionBy("event_type")
@@ -52,8 +55,8 @@ def q_information_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_INFORMATION_COEFFICIENT = f"""
 WITH base AS (
   SELECT event_id, event_type, value,
-         LEAD(value, {FORWARD_K}) OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id) - value AS fwd
+         LN(LEAD(value, {FORWARD_K}) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) / value) AS fwd
   FROM events
 ), nn AS (
   SELECT * FROM base WHERE fwd IS NOT NULL
@@ -123,12 +126,121 @@ ORDER BY user_id
 """
 
 
+def q_ood_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOD robustness report (reference ``ood_robustness.py:142-281``):
+    split each event_type's rows into low/high-volatility regimes at the
+    per-user median rolling-20 volatility (warm-up rows with an
+    incomplete window are in neither regime, like the reference's NaN-ATR
+    rows), compute the Spearman IC of value vs the k-step forward log
+    return per regime, and report both ICs + the degradation |IC1 - IC2|.
+    Deviation from the reference (documented): forward returns are
+    computed on the full point-in-time series BEFORE the regime filter —
+    the reference subsets first, which splices non-adjacent bars into
+    artificial returns."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w20 = w.rowsBetween(-19, 0)
+    n_prev = F.count(F.lit(1)).over(w20)
+    vol = F.stddev_samp("value").over(w20)
+    fwd = F.log(F.lead("value", FORWARD_K).over(w) / F.col("value"))
+    base = (ev.select("event_id", "user_id", "event_type", "value",
+                      fwd.alias("fwd"), vol.alias("vol"),
+                      n_prev.alias("n_win"))
+            .filter(F.col("fwd").isNotNull() & (F.col("n_win") >= 20)))
+    # per-user median vol threshold: value at rank ceil(0.5*n) in the
+    # deterministic (vol, event_id) order — identical in both engines
+    wv = Window.partitionBy("user_id").orderBy("vol", "event_id")
+    wu = Window.partitionBy("user_id")
+    ranked = base.select(
+        "*", F.row_number().over(wv).alias("vrnk"),
+        F.count(F.lit(1)).over(wu).alias("n_u"))
+    lab = ranked.withColumn(
+        "regime", F.when(F.col("vrnk") <= F.ceil(F.col("n_u") * 0.5),
+                         F.lit("low_volatility"))
+                   .otherwise(F.lit("high_volatility")))
+    wr = Window.partitionBy("event_type", "regime")
+    rv = F.row_number().over(wr.orderBy(F.col("value").asc(),
+                                        F.col("event_id").asc()))
+    rf = F.row_number().over(wr.orderBy(F.col("fwd").asc(),
+                                        F.col("event_id").asc()))
+    ic = (lab.select("event_type", "regime",
+                     rv.cast("double").alias("rv"),
+                     rf.cast("double").alias("rf"))
+          .groupBy("event_type", "regime")
+          .agg(F.corr("rv", "rf").alias("ic"),
+               F.count(F.lit(1)).alias("n"))
+          .filter(F.col("n") >= 30))
+    lo = ic.filter(F.col("regime") == "low_volatility").select(
+        "event_type", F.col("ic").alias("low_vol_ic"),
+        F.col("n").alias("n_low"))
+    hi = ic.filter(F.col("regime") == "high_volatility").select(
+        "event_type", F.col("ic").alias("high_vol_ic"),
+        F.col("n").alias("n_high"))
+    return (lo.join(hi, "event_type")
+            .select("event_type",
+                    _r6(F.col("low_vol_ic")).alias("low_vol_ic"),
+                    _r6(F.col("high_vol_ic")).alias("high_vol_ic"),
+                    _r6(F.abs(F.col("low_vol_ic")
+                              - F.col("high_vol_ic"))).alias("ic_degradation"),
+                    "n_low", "n_high")
+            .orderBy("event_type"))
+
+
+ORACLE_OOD_ROBUSTNESS = f"""
+WITH base AS (
+  SELECT event_id, user_id, event_type, value,
+         LN(LEAD(value, {FORWARD_K}) OVER w / value) AS fwd,
+         STDDEV_SAMP(value) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vol,
+         COUNT(*) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS n_win
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), nn AS (
+  SELECT * FROM base WHERE fwd IS NOT NULL AND n_win >= 20
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY vol, event_id) AS vrnk,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_u
+  FROM nn
+), lab AS (
+  SELECT *, CASE WHEN vrnk <= CEIL(n_u * 0.5) THEN 'low_volatility'
+                 ELSE 'high_volatility' END AS regime
+  FROM ranked
+), rr AS (
+  SELECT event_type, regime,
+         ROW_NUMBER() OVER (PARTITION BY event_type, regime
+                            ORDER BY value ASC, event_id ASC)::DOUBLE AS rv,
+         ROW_NUMBER() OVER (PARTITION BY event_type, regime
+                            ORDER BY fwd ASC, event_id ASC)::DOUBLE AS rf
+  FROM lab
+), ic AS (
+  SELECT event_type, regime, corr(rv, rf) AS ic, COUNT(*) AS n
+  FROM rr GROUP BY event_type, regime HAVING COUNT(*) >= 30
+)
+SELECT lo.event_type,
+       FLOOR(lo.ic * 1000000 + 0.5) / 1000000 AS low_vol_ic,
+       FLOOR(hi.ic * 1000000 + 0.5) / 1000000 AS high_vol_ic,
+       FLOOR(ABS(lo.ic - hi.ic) * 1000000 + 0.5) / 1000000 AS ic_degradation,
+       lo.n AS n_low, hi.n AS n_high
+FROM ic lo JOIN ic hi
+  ON lo.event_type = hi.event_type
+ AND lo.regime = 'low_volatility' AND hi.regime = 'high_volatility'
+ORDER BY lo.event_type
+"""
+
+
 QUERIES = {
     "information_coefficient": q_information_coefficient,
     "ood_regime_split": q_ood_regime_split,
+    "ood_robustness": q_ood_robustness,
 }
 
 ORACLES = {
     "information_coefficient": ORACLE_INFORMATION_COEFFICIENT,
     "ood_regime_split": ORACLE_OOD_REGIME_SPLIT,
+    "ood_robustness": ORACLE_OOD_ROBUSTNESS,
 }

@@ -125,3 +125,27 @@ def test_non_anticipative_prefix_property(seed, n):
     pre = core_loop(h[:cut], l[:cut], c[:cut], 14)
     for k in CORE_OUTPUTS:
         np.testing.assert_array_equal(full[k][:cut], pre[k], err_msg=k)
+
+
+def test_workspace_vec_grows_beyond_default():
+    """ADVICE r1: a chunk with more docs than the default vector width
+    (legal under the cell budget with 1-token docs) must not truncate the
+    kernel's state vectors."""
+    import numpy as np
+
+    from atr_adaptive_laguerre_spark.kernel.batched import (
+        Workspace, core_loop_batched,
+    )
+
+    ws = Workspace(cells=70_000)
+    v = ws.vec(7, 66_000)
+    assert v.shape == (66_000,)
+
+    # end-to-end: 70k one-token docs through the batched kernel
+    b = 70_000
+    high = np.full((b, 1), 101.0)
+    low = np.full((b, 1), 99.0)
+    close = np.full((b, 1), 100.0)
+    out = core_loop_batched(high, low, close, 14)
+    assert out["rsi"].shape == (b, 1)
+    assert np.isfinite(out["atr"]).all()

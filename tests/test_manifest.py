@@ -68,3 +68,38 @@ def test_fingerprint_stable_across_runs(spark, corpus_parquet, tmp_path):
           .toPandas().set_index("bucket").sort_index())
     np.testing.assert_array_equal(f1["input_fingerprint"].to_numpy(),
                                   f2["input_fingerprint"].to_numpy())
+
+
+def test_crash_between_output_and_manifest_is_idempotent(
+        spark, corpus_parquet, tmp_path):
+    """ADVICE r1: a crash in the window AFTER a wave's output commit but
+    BEFORE its manifest append must not duplicate rows on resume — the
+    unmarked bucket is recomputed and dynamic partition overwrite
+    replaces its directories."""
+    import shutil
+
+    doc_df = spark.read.parquet(corpus_parquet)
+    out_dir = str(tmp_path / "features")
+    man_dir = str(tmp_path / "manifest")
+
+    # wave 1 completes output + manifest...
+    run_resumable(spark, doc_df, CFG, out_dir, man_dir,
+                  run_id="r2", n_buckets=8, buckets_per_wave=3,
+                  max_waves=1)
+    # ...then the process "dies" in the unsafe window: output directories
+    # exist but the manifest rows are gone
+    shutil.rmtree(man_dir)
+
+    # resume recomputes ALL buckets (manifest empty) including the three
+    # whose output already exists on disk
+    r = run_resumable(spark, doc_df, CFG, out_dir, man_dir,
+                      run_id="r2", n_buckets=8, buckets_per_wave=3)
+    assert r["remaining"] == []
+    assert len(r["completed_now"]) == 8
+
+    feats = spark.read.parquet(out_dir)
+    n_tok_total = doc_df.agg(F.sum("n_tok")).collect()[0][0]
+    assert feats.count() == n_tok_total          # no duplicate rows
+    dupes = (feats.groupBy("source", "doc_id", "offset").count()
+             .filter(F.col("count") > 1).count())
+    assert dupes == 0

@@ -113,3 +113,59 @@ def test_features_parquet_round_trip(spark, doc_df, tmp_path):
     for c in ("token", "rsi", "bars_in_regime", "tail_risk_score"):
         np.testing.assert_array_equal(a[c].to_numpy(), b[c].to_numpy(),
                                       err_msg=c)
+
+
+def test_checksum_nan_count_on_short_docs(spark, tmp_path):
+    """ADVICE r1: NaN integrity — on a corpus containing docs shorter
+    than multiplier_2 (NaN mult columns), features_checksum's n_nan must
+    equal the isnan count over features_long, and the nansum columns must
+    match pandas nansum of the full matrix."""
+    from pyspark.sql import functions as F
+
+    from atr_adaptive_laguerre_spark.data.corpus import write_corpus_parquet
+    from atr_adaptive_laguerre_spark.engine.features_job import (
+        features_checksum,
+    )
+
+    path = str(tmp_path / "short.parquet")
+    write_corpus_parquet(path, n_docs=30, seed=7, min_len=6, max_len=60,
+                         heavy_every=0)
+    doc_df = spark.read.parquet(path)
+    cols = feature_columns_for(CFG121)
+
+    long_pdf = features_long(doc_df, CFG121).toPandas()
+    want_nan = int(np.isnan(long_pdf[cols].to_numpy()).sum())
+    assert want_nan > 0, "corpus must contain short docs (NaN mult cols)"
+
+    chk = (features_checksum(doc_df, CFG121)
+           .agg(F.sum("n_rows").alias("n"), F.sum("n_nan").alias("nn"),
+                *[F.sum(f"{c}_sum").alias(c) for c in cols[:5]])
+           .collect()[0])
+    assert chk["n"] == len(long_pdf)
+    assert chk["nn"] == want_nan
+    for c in cols[:5]:
+        np.testing.assert_allclose(
+            chk[c], np.nansum(long_pdf[c].to_numpy()), rtol=1e-9,
+            err_msg=c)
+
+
+def test_zero_copy_arrow_yield_across_chunks(spark, doc_df):
+    """ADVICE r1: the mapInArrow path yields RecordBatches built
+    zero-copy over pooled (reused) output buffers; this pins the
+    assumption that PySpark's serializer writes each yielded batch before
+    the generator resumes (buffer reuse would otherwise corrupt earlier
+    batches).  A tiny cell budget forces MANY chunks per task, so any
+    buffering serializer would mangle all but the last chunk."""
+    small = (features_long(doc_df, CFG121, cell_budget=2048).toPandas()
+             .sort_values(["source", "doc_id", "offset"])
+             .reset_index(drop=True))
+    normal = (features_long(doc_df, CFG121).toPandas()
+              .sort_values(["source", "doc_id", "offset"])
+              .reset_index(drop=True))
+    cols = feature_columns_for(CFG121)
+    assert len(small) == len(normal)
+    for c in cols:
+        a = small[c].to_numpy()
+        b = normal[c].to_numpy()
+        ok = (a == b) | (np.isnan(a) & np.isnan(b))
+        assert ok.all(), (c, int((~ok).sum()))
