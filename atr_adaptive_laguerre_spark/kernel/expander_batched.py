@@ -61,7 +61,14 @@ def _rolling_mean(x, w, out, n):
 
 
 def _rolling_var_std(x, mean, w, ws, b, t, out_std):
-    """Exact two-pass sample std (ddof=1), min_periods=1 (first col -> 0)."""
+    """Exact two-pass sample std (ddof=1), min_periods=1 (first col -> 0).
+
+    O(w) shifted passes by construction: the per-cell accumulation order
+    (j ascending = newest first) is part of the cross-engine contract
+    (oracles mirror it), so log-pass tricks that reorder additions are
+    off the table — unlike min/max, where selection is order-free.
+    Row-blocking was tried and won nothing (this host is DRAM-bound with
+    no effective cache tier)."""
     acc = ws.view("xp_acc", b, t)
     acc[:] = 0.0
     d = ws.view("xp_d", b, t)
@@ -79,14 +86,33 @@ def _rolling_var_std(x, mean, w, ws, b, t, out_std):
 
 
 def _rolling_min_max(x, w, ws, b, t):
-    mn = ws.view("xp_rmin", b, t)
-    mx = ws.view("xp_rmax", b, t)
-    np.copyto(mn, x)
-    np.copyto(mx, x)
-    for j in range(1, min(w, t)):
-        np.minimum(mn[:, j:], x[:, : t - j], out=mn[:, j:])
-        np.maximum(mx[:, j:], x[:, : t - j], out=mx[:, j:])
-    return mn, mx
+    """Backward rolling min/max, min_periods=1, in O(log w) slab passes
+    via the sparse-table doubling trick: m_{2p}[i] = op(m_p[i], m_p[i-p])
+    extends the window exactly (partial head windows stay truncated), and
+    the final combine op(m_p[i], m_p[i-(w-p)]) with p >= w/2 covers the
+    full w-window with overlap — min/max are idempotent selections, so
+    overlap is harmless and every output bit equals the naive w-pass
+    version.  Ping-pong buffers avoid self-overlap hazards."""
+    we = min(w, t)
+    out = {}
+    for name, op, src in (("xp_rmin", np.minimum, x),
+                          ("xp_rmax", np.maximum, x)):
+        a = ws.view(name, b, t)
+        bbuf = ws.view(name + "2", b, t)
+        np.copyto(a, src)
+        p = 1
+        while p * 2 <= we:
+            bbuf[:, :p] = a[:, :p]
+            op(a[:, p:], a[:, : t - p], out=bbuf[:, p:])
+            a, bbuf = bbuf, a
+            p *= 2
+        off = we - p
+        if off > 0:
+            bbuf[:, :off] = a[:, :off]
+            op(a[:, off:], a[:, : t - off], out=bbuf[:, off:])
+            a = bbuf
+        out[name] = a
+    return out["xp_rmin"], out["xp_rmax"]
 
 
 def _bars_since(event, ws, b, t, out):
