@@ -666,3 +666,23 @@ SELECT source, doc_id, i AS "offset", token,
 FROM core
 ORDER BY doc_id, "offset"
 """
+
+
+def oracle_rangebar_enrich() -> str:
+    """Twin of ``queries.q_rangebar_enrich`` — the rangebar plugin's
+    curated 6-column projection over the 43-feature expansion."""
+    from atr_adaptive_laguerre_spark.adapters import RANGEBAR_FEATURE_MAP
+
+    exp, final = expander_ctes("core", "e", "i")
+    name_map = {"gamma_value": "gamma", "rsi_velocity": "vel"}
+    cols = ",\n       ".join(
+        f"{_r6(name_map.get(src, src))} AS {dst}"
+        for src, dst in RANGEBAR_FEATURE_MAP.items())
+    return f"""
+WITH RECURSIVE {bars_cte()},
+{core_cte('core', 'bars')},{exp}
+SELECT source, doc_id, i AS "offset", token,
+       {cols}
+FROM {final}
+ORDER BY doc_id, "offset"
+"""

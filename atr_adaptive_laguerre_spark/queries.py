@@ -112,6 +112,60 @@ def q_features_121(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quantized(features_long(tokenize_documents_portable(docs), cfg))
 
 
+
+def q_rangebar_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rangebar-plugin adapter surface: the curated 6-column laguerre_*
+    subset (projection/rename over the 43-feature expansion), quantized
+    to 1e-6 (reference rangebar_plugin.py:39-179)."""
+    from atr_adaptive_laguerre_spark.adapters import enrich_rangebars
+    from atr_adaptive_laguerre_spark.engine.tokens import (
+        tokenize_documents_portable,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return _quantized(
+        enrich_rangebars(tokenize_documents_portable(docs),
+                         FeatureConfig(atr_period=14)))
+
+
+def q_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exness Phase7 adapter surface: derive the 3 binary session flags
+    from event timestamps (fixed-offset UTC windows) and validate via the
+    adapter's {0,1} contract (reference data/exness_adapter.py:34-133)."""
+    from atr_adaptive_laguerre_spark.adapters import (
+        extract_session_features, with_session_flags,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    flagged = with_session_flags(ev, "ts")
+    extract_session_features(flagged)      # contract check (raises if bad)
+    return (flagged.select("event_id", "is_nyse_session", "is_lse_session",
+                           "is_xtks_session")
+            .orderBy("event_id"))
+
+
+ORACLE_SESSION_FEATURES = """
+SELECT event_id,
+       CASE WHEN (EXTRACT(hour FROM ts)::DOUBLE
+                  + EXTRACT(minute FROM ts)::DOUBLE / 60) >= 14.5
+             AND (EXTRACT(hour FROM ts)::DOUBLE
+                  + EXTRACT(minute FROM ts)::DOUBLE / 60) < 21.0
+            THEN 1 ELSE 0 END AS is_nyse_session,
+       CASE WHEN (EXTRACT(hour FROM ts)::DOUBLE
+                  + EXTRACT(minute FROM ts)::DOUBLE / 60) >= 8.0
+             AND (EXTRACT(hour FROM ts)::DOUBLE
+                  + EXTRACT(minute FROM ts)::DOUBLE / 60) < 16.5
+            THEN 1 ELSE 0 END AS is_lse_session,
+       CASE WHEN (EXTRACT(hour FROM ts)::DOUBLE
+                  + EXTRACT(minute FROM ts)::DOUBLE / 60) >= 0.0
+             AND (EXTRACT(hour FROM ts)::DOUBLE
+                  + EXTRACT(minute FROM ts)::DOUBLE / 60) < 6.0
+            THEN 1 ELSE 0 END AS is_xtks_session
+FROM events
+ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational / aggregation layer (SURVEY §2.6, §2.7)
 # ---------------------------------------------------------------------------
@@ -510,6 +564,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "core_rsi_features": q_core_rsi_features,
     "features_43_single_interval": q_features_43,
     "features_121_multi_interval": q_features_121,
+    "rangebar_enrich": q_rangebar_enrich,
+    "session_features": q_session_features,
     "pricing_summary": q_pricing_summary,
     "star_join_revenue": q_star_join_revenue,
     "events_lag_lead": q_events_lag_lead,
@@ -539,6 +595,8 @@ def _merge_flagship_oracles() -> None:
     ORACLES["features_43_single_interval"] = _o.oracle_features_43()
     ORACLES["features_121_multi_interval"] = _o.oracle_features_121(False)
     ORACLES["features_121_availability"] = _o.oracle_features_121(True)
+    ORACLES["rangebar_enrich"] = _o.oracle_rangebar_enrich()
+    ORACLES["session_features"] = ORACLE_SESSION_FEATURES
 
 
 ORACLES: dict[str, str] = {
