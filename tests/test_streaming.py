@@ -245,3 +245,65 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # late row excluded: 2 bars, avg 15, max 20 (not 3 bars / max 1000)
     assert int(first["n_bars"].iloc[0]) == 2
     assert float(first["max_close"].iloc[0]) == 20.0
+
+
+@pytest.mark.slow
+def test_stream_features43_matches_batch(spark, tmp_path):
+    """Streaming 43-column expansion (beyond-reference surface) ==
+    batch expander bit-for-bit across micro-batch splits, including a
+    replay overlap — the windowed stats, EWM velocity and unbounded
+    counters all resume from carried state."""
+    from atr_adaptive_laguerre_spark.kernel.batched import core_loop_batched
+    from atr_adaptive_laguerre_spark.kernel.expander_batched import (
+        expand_batched,
+    )
+    from atr_adaptive_laguerre_spark.streaming.expanded import (
+        stream_features43,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    n = 400       # > HIST + margin so state truncation is exercised
+    docs = {f"d{i}": tokens_to_ohlcv(make_tokens(20 + i, n))
+            for i in range(3)}
+
+    def drop(lo, hi):
+        rows = []
+        for did, (h, l, c) in docs.items():
+            for i in range(lo, min(hi, n)):
+                rows.append(("s0", did, i, h[i], l[i], c[i]))
+        pdf = pd.DataFrame(rows, columns=["source", "doc_id", "offset",
+                                          "high", "low", "close"])
+        (spark.createDataFrame(pdf)
+         .coalesce(1).write.mode("append").parquet(in_dir))
+
+    drop(0, 150)
+    stream_features43(spark, in_dir, out_dir, ckpt, CFG)
+    drop(150, 290)
+    drop(280, 400)       # replay overlap 280-290 must be deduped
+    stream_features43(spark, in_dir, out_dir, ckpt, CFG)
+
+    got = (spark.read.parquet(out_dir).toPandas()
+           .sort_values(["doc_id", "offset"]).reset_index(drop=True))
+    assert len(got) == 3 * n
+    assert got.groupby(["doc_id", "offset"]).size().max() == 1
+
+    from atr_adaptive_laguerre_spark.kernel.expander_ref import (
+        FEATURE_COLUMNS,
+    )
+
+    for did, (h, l, c) in docs.items():
+        core = core_loop_batched(h[None, :], l[None, :], c[None, :],
+                                 CFG.atr_period, CFG.adaptive_offset)
+        core["close"] = np.asarray(c)[None, :]
+        want = expand_batched(core, CFG)
+        sub = got[got["doc_id"] == did].sort_values("offset")
+        for col in FEATURE_COLUMNS:
+            g = sub[col].to_numpy()
+            w = want[col][0]
+            ok = (g == w) | (np.isnan(g) & np.isnan(w))
+            assert ok.all(), (did, col, int((~ok).sum()),
+                              int(np.argmax(~ok)))
