@@ -62,3 +62,23 @@ def test_exact_dedup_single_shuffle(spark):
 
     plan = _plan(q_dedup_exact(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_jaccard_plan_has_no_allpairs_shingle_join(spark):
+    """VERDICT r1 item 4 'done' check: the n-gram Jaccard plan must join
+    on LSH (band, bucket) candidates and doc_id only — never self-join
+    the exploded shingle table (quadratic in docs per hot shingle)."""
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        q_dedup_ngram_jaccard,
+    )
+
+    plan = _plan(q_dedup_ngram_jaccard(spark, SF))
+    # joins present: bucket-candidate join + two doc_id joins for the
+    # shingle arrays — every equi-join key must be doc_id/band/bucket
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line \
+                or "BroadcastHashJoin" in line:
+            assert ("doc_id" in line or "doc_a" in line or "doc_b" in line
+                    or "bucket" in line), line
+            # the quadratic shape would join on the raw shingle value
+            assert "[s#" not in line.replace("doc_id", ""), line
