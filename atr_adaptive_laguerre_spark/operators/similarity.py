@@ -6,11 +6,20 @@ array<float>, label).
   rank by quantized similarity with a deterministic tie-break;
 * LSH-bucketed ANN — random-hyperplane signatures from md5-derived
   pseudo-hyperplanes (deterministic, engine-portable), bucket join, then
-  exact cosine only within buckets: the linear-cost scale path.
+  exact cosine only within buckets: the linear-cost scale path;
+* IVF top-k — coarse quantizer (per-label centroids as the trained
+  cells), one broadcast join assigns every corpus vector to its nearest
+  cell, queries probe the ``NPROBE`` nearest cells and run exact cosine
+  only inside them: the inverted-file scale path;
+* embedding-cosine near-dup — banded random-hyperplane LSH candidate
+  pairs verified by exact cosine >= threshold (the embedding analog of
+  MinHash+LSH->Jaccard dedup).
 
 At 100 TB the brute-force variant broadcasts the (small) query set and
-scans the corpus once; the LSH variant replaces the scan-per-query with
-one shuffle on the bucket key.
+scans the corpus once; the LSH/IVF variants replace the scan-per-query
+with one shuffle on the bucket/cell key, and near-dup candidate
+generation stays linear (explode bands + one shuffle) instead of the
+all-pairs cross join.
 """
 
 from __future__ import annotations
@@ -82,20 +91,24 @@ ORDER BY query_id, rank
 """
 
 
-def _plane_sign(v, p: int):
-    """Sign of <v, h_p> where hyperplane h_p's component d is an
-    md5-derived pseudo-random value in [-0.5, 0.5): deterministic and
-    identical in both engines."""
+def _plane_sign_seeded(v, seed: str):
+    """Sign of <v, h> where hyperplane h's component d is an md5-derived
+    pseudo-random value in [-0.5, 0.5) keyed on ``seed``: deterministic
+    and identical in both engines."""
     prod = F.aggregate(
         F.zip_with(v, F.sequence(F.lit(0), F.size(v) - 1),
                    lambda x, d: x * (
                        F.conv(F.substring(
-                           F.md5(F.concat(F.lit(f"plane{p}d"),
+                           F.md5(F.concat(F.lit(seed),
                                           d.cast("string"))), 1, 8),
                            16, 10).cast("double") / F.lit(float(16 ** 8))
                        - 0.5)),
         F.lit(0.0), lambda acc, x: acc + x)
     return (prod > 0).cast("int")
+
+
+def _plane_sign(v, p: int):
+    return _plane_sign_seeded(v, f"plane{p}d")
 
 
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,14 +191,218 @@ ORDER BY label
 """
 
 
+IVF_NPROBE = 3
+IVF_N_QUERIES = 10
+
+
+def _centroids(emb: DataFrame) -> DataFrame:
+    """Coarse-quantizer cells: per-label mean vector, rebuilt as an array
+    (posexplode -> per-dim avg -> sort-by-dim collect).  The label
+    clustering plays the role of the trained k-means codebook; at 100 TB
+    the codebook is O(cells x dim) — always broadcastable."""
+    dims = emb.select("label", F.posexplode("v").alias("d", "x"))
+    return (dims.groupBy("label", "d").agg(F.avg("x").alias("c"))
+            .groupBy("label")
+            .agg(F.transform(F.array_sort(F.collect_list(F.struct("d", "c"))),
+                             lambda s: s.c).alias("cv"))
+            .select(F.col("label").alias("cell"), "cv"))
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every corpus vector to its nearest
+    centroid cell (one broadcast join — the inverted lists), then each
+    query probes its NPROBE nearest cells and runs exact cosine only over
+    those lists.  Rank keys are quantized (r6) before ordering so both
+    engines agree on ties; cand ties break on cand_id.
+
+    At 100 TB: the codebook broadcast is O(cells); assignment is a single
+    corpus scan; the probe join shuffles on cell — candidates per query
+    shrink by ~cells/NPROBE vs the full scan."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    cent = _centroids(emb)
+    # inverted lists: nearest cell per corpus vector
+    asgn_sim = (emb.select("vec_id", "v")
+                .crossJoin(F.broadcast(cent))
+                .select("vec_id", "v", "cell",
+                        _r6(_cosine(F.col("v"), F.col("cv"))).alias("acos")))
+    wa = Window.partitionBy("vec_id").orderBy(F.col("acos").desc(),
+                                              F.col("cell").asc())
+    assigned = (asgn_sim.withColumn("arank", F.row_number().over(wa))
+                .filter(F.col("arank") == 1)
+                .select("vec_id", "v", "cell"))
+    # probe sets: NPROBE nearest cells per query vector
+    q = (emb.filter(F.col("vec_id") < IVF_N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
+    probe_sim = (F.broadcast(q).crossJoin(F.broadcast(cent))
+                 .select("query_id", "qv", "cell",
+                         _r6(_cosine(F.col("qv"), F.col("cv"))).alias("pcos")))
+    wp = Window.partitionBy("query_id").orderBy(F.col("pcos").desc(),
+                                                F.col("cell").asc())
+    probes = (probe_sim.withColumn("prank", F.row_number().over(wp))
+              .filter(F.col("prank") <= IVF_NPROBE)
+              .select("query_id", "qv", "cell"))
+    # exact cosine inside probed cells only
+    sims = (probes.join(assigned, "cell")
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .select("query_id", F.col("vec_id").alias("cand_id"), "cell",
+                    _r6(_cosine(F.col("qv"), F.col("v"))).alias("cos_sim")))
+    wr = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                                F.col("cand_id").asc())
+    return (sims.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "rank", "cand_id", "cell", "cos_sim")
+            .orderBy("query_id", "rank"))
+
+
+_COS_SQL = ("FLOOR((list_sum(list_transform(range(1, length({a}) + 1), "
+            "i -> {a}[i] * {b}[i])) "
+            "/ (sqrt(list_sum(list_transform({a}, x -> x * x))) "
+            "* sqrt(list_sum(list_transform({b}, x -> x * x))))) "
+            "* 1000000 + 0.5) / 1000000")
+
+ORACLE_ANN_IVF_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), dims AS (
+  SELECT label, unnest(range(0, len(v))) AS d, unnest(v) AS x FROM e
+), cd AS (
+  SELECT label, d, AVG(x) AS c FROM dims GROUP BY label, d
+), cent AS (
+  SELECT label AS cell, list(c ORDER BY d) AS cv FROM cd GROUP BY label
+), asgn AS (
+  SELECT vec_id, v, cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY {_COS_SQL.format(a='v', b='cv')} DESC, cell ASC)
+           AS arank
+  FROM e CROSS JOIN cent
+), inv AS (
+  SELECT vec_id, v, cell FROM asgn WHERE arank = 1
+), probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, cent.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_COS_SQL.format(a='q.v', b='cv')} DESC, cell ASC)
+             AS prank
+    FROM e q CROSS JOIN cent WHERE q.vec_id < {IVF_N_QUERIES}
+  ) WHERE prank <= {IVF_NPROBE}
+), sims AS (
+  SELECT p.query_id, inv.vec_id AS cand_id, p.cell,
+         {_COS_SQL.format(a='p.qv', b='inv.v')} AS cos_sim
+  FROM probes p JOIN inv USING (cell)
+  WHERE p.query_id != inv.vec_id
+), ranked AS (
+  SELECT query_id, cand_id, cell, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, rank, cand_id, cell, cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+DUP_BANDS = 2
+DUP_PLANES = 4
+DUP_COS_THRESHOLD = 0.40
+
+
+def _dup_candidate_pairs(emb: DataFrame) -> DataFrame:
+    """Banded random-hyperplane LSH candidate pairs (vec_a < vec_b):
+    DUP_BANDS signatures of DUP_PLANES bits each; vectors sharing any
+    band bucket are near-dup candidates.  Linear-cost: explode bands
+    (2 rows/vec) + one shuffle on (band, bucket)."""
+    bands = []
+    for band in range(DUP_BANDS):
+        sig = sum((_plane_sign_seeded(F.col("v"), f"b{band}p{p}d")
+                   * F.lit(2 ** p)).cast("bigint")
+                  for p in range(DUP_PLANES)).alias("bucket")
+        bands.append(emb.select("vec_id", F.lit(band).alias("band"), sig))
+    bb = bands[0]
+    for other in bands[1:]:
+        bb = bb.unionByName(other)
+    a, b = bb.alias("a"), bb.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"))
+            .distinct())
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-banded candidate
+    generation verified by exact cosine >= threshold (the embedding
+    analog of MinHash-LSH -> exact-Jaccard dedup; precision 1 by
+    construction, recall measured vs the all-pairs baseline in
+    tests/test_operators.py)."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cand = _dup_candidate_pairs(emb)
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (cand.join(va, "vec_a").join(vb, "vec_b")
+            .select("vec_a", "vec_b",
+                    _r6(_cosine(F.col("va"), F.col("vb"))).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= DUP_COS_THRESHOLD)
+            .orderBy("vec_a", "vec_b"))
+
+
+def _dup_plane_sql(band: int, p: int) -> str:
+    return (f"list_sum(list_transform(range(1, length(v) + 1), "
+            f"i -> v[i] * (('0x' || substr(md5('b{band}p{p}d' || "
+            f"(i - 1)::VARCHAR), 1, 8))::BIGINT::DOUBLE / {float(16 ** 8)} "
+            f"- 0.5))) > 0")
+
+
+def _dup_band_selects() -> str:
+    parts = []
+    for band in range(DUP_BANDS):
+        sig = " + ".join(
+            f"(CASE WHEN {_dup_plane_sql(band, p)} THEN {2 ** p} ELSE 0 END)"
+            for p in range(DUP_PLANES))
+        parts.append(f"SELECT vec_id, {band} AS band, "
+                     f"CAST({sig} AS BIGINT) AS bucket FROM e")
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE_DEDUP_EMBEDDING_COSINE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), bb AS (
+{_dup_band_selects()}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bb a JOIN bb b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), sims AS (
+  SELECT vec_a, vec_b,
+         {_COS_SQL.format(a='ea.v', b='eb.v')} AS cos_sim
+  FROM cand
+  JOIN e ea ON ea.vec_id = vec_a
+  JOIN e eb ON eb.vec_id = vec_b
+)
+SELECT vec_a, vec_b, cos_sim
+FROM sims WHERE cos_sim >= {DUP_COS_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
 QUERIES = {
     "ann_topk_cosine": q_ann_topk_cosine,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_centroids": q_embedding_centroids,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }
 
 ORACLES = {
     "ann_topk_cosine": ORACLE_ANN_TOPK_COSINE,
     "ann_lsh_buckets": ORACLE_ANN_LSH_BUCKETS,
+    "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
+    "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
 }

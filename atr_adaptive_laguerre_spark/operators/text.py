@@ -154,14 +154,67 @@ ORDER BY doc_id
 """
 
 
+#: BPE-ish pre-tokenizer: letter runs, single digits, or single
+#: non-alnum marks — the GPT-2-style pre-split shape (letters cluster,
+#: digits split, punctuation isolates).  Identical regex semantics in
+#: Java (Spark) and RE2-ish (DuckDB) for this alternation.
+BPE_PATTERN = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways — whitespace tokens and a BPE-ish regex
+    pre-tokenization (letter runs / single digits / punctuation marks) —
+    plus the chars-per-token compression ratio an LLM-data pipeline uses
+    for quality filtering and cost estimates.  All JVM-side regex; no
+    Python."""
+    docs = _docs(spark, sf_dir)
+    ws_n = F.size(words_col())
+    # F.lit pattern (not F.expr) — a SQL string literal would eat the \s
+    bpe = F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), F.lit(0))
+    bpe_n = F.size(bpe)
+    n_chars = F.length(F.col("text"))
+    return (docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        ws_n.alias("ws_tokens"),
+        bpe_n.alias("bpe_tokens"),
+        _r6(n_chars.cast("double") / bpe_n).alias("chars_per_bpe_token"),
+        _r6(bpe_n.cast("double") / ws_n).alias("bpe_per_ws_token"))
+        .orderBy("doc_id"))
+
+
+ORACLE_TOKEN_COUNTS = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+           AS ws_tokens,
+         length(regexp_extract_all(lower(text), '{BPE_PATTERN}'))
+           AS bpe_tokens
+  FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars,
+       ws_tokens,
+       bpe_tokens,
+       FLOOR((length(text)::DOUBLE / bpe_tokens) * 1000000 + 0.5) / 1000000
+         AS chars_per_bpe_token,
+       FLOOR((bpe_tokens::DOUBLE / ws_tokens) * 1000000 + 0.5) / 1000000
+         AS bpe_per_ws_token
+FROM t
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "token_counts": q_token_counts,
 }
 
 ORACLES = {
     "text_stats": ORACLE_TEXT_STATS,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "token_counts": ORACLE_TOKEN_COUNTS,
 }

@@ -147,3 +147,113 @@ def test_text_quality_ranges(spark):
     assert (stats["token_count"] > 0).all()
     for c in ("stopword_ratio", "type_token_ratio", "quality_score"):
         assert ((stats[c] >= 0) & (stats[c] <= 1)).all(), c
+
+
+def test_token_counts_invariants(spark):
+    """Every whitespace token contributes >= 1 BPE-ish piece, so
+    bpe_tokens >= ws_tokens; chars-per-token is bounded by the longest
+    letter run."""
+    from atr_adaptive_laguerre_spark.operators.text import q_token_counts
+
+    tc = q_token_counts(spark, SF).toPandas()
+    assert (tc["bpe_tokens"] >= tc["ws_tokens"]).all()
+    assert (tc["chars_per_bpe_token"] > 0).all()
+    assert (tc["bpe_per_ws_token"] >= 1.0).all()
+
+
+def test_ivf_topk_vs_exact(spark):
+    """IVF structural invariants + recall vs the exact brute-force
+    baseline.  The synthetic embeddings are near-random (no cluster
+    structure), so the floor is modest — but it must beat the
+    nprobe/cells = 0.3 random-probe expectation (measured 0.48)."""
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        IVF_N_QUERIES, q_ann_ivf_topk, q_ann_topk_cosine,
+    )
+
+    ivf = q_ann_ivf_topk(spark, SF).toPandas()
+    assert set(ivf["rank"]) == {1, 2, 3, 4, 5}
+    for _, grp in ivf.groupby("query_id"):
+        sims = grp.sort_values("rank")["cos_sim"].to_numpy()
+        assert (np.diff(sims) <= 1e-12).all()
+
+    ex = q_ann_topk_cosine(spark, SF).toPandas()
+    ex = ex[ex["query_id"] < IVF_N_QUERIES]
+    hits = tot = 0
+    for q in range(IVF_N_QUERIES):
+        ei = set(ex.loc[ex["query_id"] == q, "cand_id"])
+        ii = set(ivf.loc[ivf["query_id"] == q, "cand_id"])
+        hits += len(ei & ii)
+        tot += len(ei)
+        # IVF sims can never beat the exact best (it searches a subset)
+        assert (ivf.loc[ivf["query_id"] == q, "cos_sim"].max()
+                <= ex.loc[ex["query_id"] == q, "cos_sim"].max() + 1e-12)
+    assert hits / tot > 0.35, hits / tot
+
+
+def test_ivf_recall_on_clustered_corpus(spark):
+    """On a corpus with REAL cluster structure (vectors = centroid +
+    small noise, labels = cluster ids), IVF recall@5 must be near-exact:
+    true neighbors share the query's cell, which is always probed
+    first."""
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        q_ann_ivf_topk, q_ann_topk_cosine,
+    )
+
+    rng = np.random.default_rng(7)
+    cents = rng.normal(size=(5, 16))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    rows = []
+    for i in range(100):
+        lab = i % 5
+        v = cents[lab] + 0.05 * rng.normal(size=16)
+        rows.append((i, [float(x) for x in v], lab))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    path = "/tmp/ivf_clustered"
+    df.write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+
+    ivf = q_ann_ivf_topk(spark, path).toPandas()
+    ex = q_ann_topk_cosine(spark, path).toPandas()
+    ex = ex[ex["query_id"] < 10]
+    hits = tot = 0
+    for q in range(10):
+        ei = set(ex.loc[ex["query_id"] == q, "cand_id"])
+        ii = set(ivf.loc[ivf["query_id"] == q, "cand_id"])
+        hits += len(ei & ii)
+        tot += len(ei)
+    assert hits / tot >= 0.95, hits / tot
+
+
+def test_embedding_dup_candidates_recall(spark):
+    """Planted near-duplicate vectors (cos ~0.99) must be recovered by
+    the banded hyperplane LSH: per-pair band-match probability at
+    theta~8 deg is ~0.97 with 2 bands of 4 planes; with fixed md5 planes
+    the outcome is deterministic — assert recall >= 0.8 on the planted
+    set, and that every verified pair really has cos >= threshold."""
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        DUP_COS_THRESHOLD, _dup_candidate_pairs, q_dedup_embedding_cosine,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    planted = set()
+    for i in range(30):
+        rows.append((2 * i, [float(x) for x in base[i]]))
+        twin = base[i] + 0.05 * rng.normal(size=32)
+        rows.append((2 * i + 1, [float(x) for x in twin]))
+        cos = float(base[i] @ twin / np.linalg.norm(twin))
+        if cos >= 0.95:
+            planted.add((2 * i, 2 * i + 1))
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cands = {(a, b) for a, b in
+             _dup_candidate_pairs(emb).toPandas().itertuples(index=False)}
+    assert planted, "corpus must contain planted twins"
+    recall = len(planted & cands) / len(planted)
+    assert recall >= 0.8, (recall, planted - cands)
+
+    # verification stage on the real table: reported pairs are exact
+    dup = q_dedup_embedding_cosine(spark, SF).toPandas()
+    assert (dup["vec_a"] < dup["vec_b"]).all()
+    assert (dup["cos_sim"] >= DUP_COS_THRESHOLD).all()
