@@ -1,0 +1,117 @@
+"""End-to-end corpus-curation pipeline over the ``documents`` table.
+
+Composes the individual training-data operators — token counting,
+quality scoring, heuristic language ID, exact dedup — into the single
+keep/drop decision a 100 TB curation job makes per document, then
+reports per (source, lang_guess) retention stats.
+
+Plan shape at scale: one shuffle on the content hash (dedup window) +
+one shuffle on the report key (groupBy) — both linear; no joins beyond
+the implicit window, nothing quadratic, all expressions JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from atr_adaptive_laguerre_spark.operators.text import (
+    EN_STOPWORDS, _r6, _sw_sql, words_col,
+)
+
+MIN_TOKENS = 20
+#: median-ish cut on the synthetic corpus (q50 ~0.38) — keeps the
+#: decision non-degenerate in both directions at every sf
+MIN_QUALITY = 0.38
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation decision per doc -> per-(source, lang_guess) report:
+    docs kept = not an exact duplicate (canonical doc of its content
+    group survives) AND token_count >= MIN_TOKENS AND quality_score >=
+    MIN_QUALITY.  Emits doc counts, kept counts, kept token mass, and
+    the retention ratio."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = words_col()
+    n = F.size(w)
+    sw_list = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    stop_ratio = (F.size(F.filter(w, lambda x: F.array_contains(sw_list, x)))
+                  .cast("double") / n)
+    ttr = F.size(F.array_distinct(w)).cast("double") / n
+    quality = (F.least(n.cast("double") / 100.0, F.lit(1.0)) * 0.4
+               + stop_ratio * 0.3 + ttr * 0.3)
+    has_cjk = F.length(F.regexp_replace(F.col("text"),
+                                        r"[^一-鿿]", "")) > 0
+    guess = (F.when(has_cjk, "cjk")
+             .when(stop_ratio >= 0.05, "en")
+             .otherwise("other"))
+    norm = F.concat_ws(" ", w)
+    scored = docs.select(
+        "doc_id", "source",
+        n.alias("token_count"),
+        quality.alias("quality_score"),
+        guess.alias("lang_guess"),
+        F.md5(norm).alias("chash"))
+    cw = Window.partitionBy("chash")
+    flagged = scored.withColumn(
+        "keep",
+        ((F.col("doc_id") == F.min("doc_id").over(cw))
+         & (F.col("token_count") >= MIN_TOKENS)
+         & (F.col("quality_score") >= MIN_QUALITY)).cast("int"))
+    return (flagged.groupBy("source", "lang_guess")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("keep").alias("n_kept"),
+                 F.sum(F.col("keep") * F.col("token_count"))
+                 .alias("tokens_kept"),
+                 _r6(F.sum("keep").cast("double") / F.count(F.lit(1)))
+                 .alias("kept_ratio"))
+            .orderBy("source", "lang_guess"))
+
+
+ORACLE_CORPUS_CURATION = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS words,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 AS has_cjk
+  FROM documents
+), scored AS (
+  SELECT doc_id, source,
+         length(words) AS token_count,
+         (LEAST(length(words)::DOUBLE / 100.0, 1.0) * 0.4
+          + (length(list_filter(words,
+              x -> list_contains({_sw_sql()}, x)))::DOUBLE
+             / length(words)) * 0.3
+          + (length(list_distinct(words))::DOUBLE / length(words)) * 0.3)
+           AS quality_score,
+         CASE WHEN has_cjk THEN 'cjk'
+              WHEN length(list_filter(words,
+                     x -> list_contains({_sw_sql()}, x)))::DOUBLE
+                   / length(words) >= 0.05 THEN 'en'
+              ELSE 'other' END AS lang_guess,
+         md5(array_to_string(words, ' ')) AS chash
+  FROM w
+), flagged AS (
+  SELECT source, lang_guess, token_count,
+         CAST(doc_id = MIN(doc_id) OVER (PARTITION BY chash)
+              AND token_count >= {MIN_TOKENS}
+              AND quality_score >= {MIN_QUALITY} AS INT) AS keep
+  FROM scored
+)
+SELECT source, lang_guess,
+       COUNT(*) AS n_docs,
+       SUM(keep)::BIGINT AS n_kept,
+       SUM(keep * token_count)::BIGINT AS tokens_kept,
+       FLOOR((SUM(keep)::DOUBLE / COUNT(*)) * 1000000 + 0.5) / 1000000
+         AS kept_ratio
+FROM flagged
+GROUP BY source, lang_guess
+ORDER BY source, lang_guess
+"""
+
+
+QUERIES = {
+    "corpus_curation": q_corpus_curation,
+}
+
+ORACLES = {
+    "corpus_curation": ORACLE_CORPUS_CURATION,
+}

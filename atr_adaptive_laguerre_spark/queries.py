@@ -579,11 +579,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 def _merge_operator_modules() -> None:
     from atr_adaptive_laguerre_spark.operators import (
-        dedup, multimodal, similarity, text, validation, windows_sql,
+        curation, dedup, multimodal, similarity, text, validation,
+        windows_sql,
     )
 
     for mod in (text, dedup, similarity, multimodal, validation,
-                windows_sql):
+                windows_sql, curation):
         QUERIES.update(mod.QUERIES)
         ORACLES.update(mod.ORACLES)
 

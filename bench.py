@@ -78,7 +78,7 @@ def main() -> None:
     features_long(warm, cfg121).count()
     core_features_long(warm, cfg).count()
 
-    def timed_min(fn, runs=2):
+    def timed_min(fn, runs=3):
         """Best of N runs: wall times on this shared host vary 3-8x with
         neighbor load; min is the least-noise estimate."""
         best = None
@@ -123,11 +123,12 @@ def main() -> None:
     ]
     for name in bench_queries:
         fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        # force full computation without driver materialization cost
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+
+        def run_query(fn=fn):
+            # force full computation without driver materialization cost
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+        timings[name] = round(timed_min(run_query, runs=2), 3)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -161,6 +161,29 @@ def test_token_counts_invariants(spark):
     assert (tc["bpe_per_ws_token"] >= 1.0).all()
 
 
+def test_corpus_curation_consistency(spark):
+    """The composite curation report must agree with its component
+    operators run separately: total docs, per-group sanity, and the keep
+    decision recomputed from text_stats + dedup_exact."""
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        MIN_QUALITY, MIN_TOKENS, q_corpus_curation,
+    )
+    from atr_adaptive_laguerre_spark.operators.dedup import q_dedup_exact
+    from atr_adaptive_laguerre_spark.operators.text import q_text_stats
+
+    rep = q_corpus_curation(spark, SF).toPandas()
+    assert (rep["n_kept"] <= rep["n_docs"]).all()
+    assert ((rep["kept_ratio"] >= 0) & (rep["kept_ratio"] <= 1)).all()
+
+    stats = q_text_stats(spark, SF).toPandas().set_index("doc_id")
+    dup = q_dedup_exact(spark, SF).toPandas().set_index("doc_id")
+    keep = ((dup["is_duplicate"] == 0)
+            & (stats["token_count"] >= MIN_TOKENS)
+            & (stats["quality_score"] >= MIN_QUALITY))
+    assert int(rep["n_kept"].sum()) == int(keep.sum())
+    assert int(rep["n_docs"].sum()) == len(stats)
+
+
 def test_ivf_topk_vs_exact(spark):
     """IVF structural invariants + recall vs the exact brute-force
     baseline.  The synthetic embeddings are near-random (no cluster

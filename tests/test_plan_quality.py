@@ -64,6 +64,53 @@ def test_exact_dedup_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_ivf_plan_broadcasts_codebook_no_corpus_cross_join(spark):
+    """The IVF plan's only cross joins are against the broadcast codebook
+    (O(cells) rows); corpus x corpus never appears, and candidate joins
+    run on the cell key."""
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        q_ann_ivf_topk,
+    )
+
+    plan = _plan(q_ann_ivf_topk(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # codebook broadcast
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
+            assert "cell" in line, line
+
+
+def test_embedding_dup_plan_joins_on_buckets_only(spark):
+    """Embedding near-dup candidates must come from the (band, bucket)
+    equi-join — never an all-pairs vector cross join."""
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        q_dedup_embedding_cosine,
+    )
+
+    plan = _plan(q_dedup_embedding_cosine(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line \
+                or "BroadcastHashJoin" in line:
+            assert ("bucket" in line or "vec_a" in line or "vec_b" in line
+                    or "vec_id" in line), line
+
+
+def test_curation_pipeline_two_shuffles(spark):
+    """The composite curation pipeline must cost exactly two exchanges —
+    the dedup window (chash) and the report groupBy — regardless of how
+    many per-doc features feed the keep decision."""
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        q_corpus_curation,
+    )
+
+    plan = _plan(q_corpus_curation(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan  # all JVM-side expressions
+
+
 def test_jaccard_plan_has_no_allpairs_shingle_join(spark):
     """VERDICT r1 item 4 'done' check: the n-gram Jaccard plan must join
     on LSH (band, bucket) candidates and doc_id only — never self-join
