@@ -91,7 +91,10 @@ def main() -> None:
 
     # ---- flagship: core kernel over the token corpus ----
     def run_core():
-        feats = core_features_long(doc_df, cfg, num_partitions=cpus * 3)
+        # cpus partitions = one scheduling wave with the fullest Arrow
+        # batches (the bench corpus is length-balanced; cpus*3 oversplit
+        # is for skewed corpora / few local files)
+        feats = core_features_long(doc_df, cfg, num_partitions=cpus)
         agg = feats.agg(F.count(F.lit(1)).alias("rows"),
                         F.sum("rsi").alias("rsi_sum")).collect()[0]
         assert agg["rows"] == n_tok_total, (agg["rows"], n_tok_total)
@@ -103,7 +106,7 @@ def main() -> None:
 
     # ---- headline: full 121-column multi-interval feature matrix ----
     def run_121():
-        f121 = features_long(doc_df, cfg121, num_partitions=cpus * 3)
+        f121 = features_long(doc_df, cfg121, num_partitions=cpus)
         agg = f121.agg(F.count(F.lit(1)).alias("rows"),
                        F.sum("rsi_percentile_20_base").alias("chk")
                        ).collect()[0]

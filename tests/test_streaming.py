@@ -377,3 +377,64 @@ def test_transform_with_state_matches_batch(spark, tmp_path):
         else:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_dedup_exact_bounded_state(spark, tmp_path):
+    """Streaming exact dedup: exactly one survivor per content group
+    within the watermark window, agreeing with the batch operator's
+    groups; duplicates arriving in a later micro-batch (same run) are
+    still suppressed by checkpointed state."""
+    from datetime import datetime, timedelta
+
+    from atr_adaptive_laguerre_spark.streaming.dedup import (
+        stream_dedup_exact,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    texts = [f"unique document number {i} with shared filler words"
+             for i in range(10)]
+
+    def drop(doc_rows):
+        pdf = pd.DataFrame(doc_rows, columns=["doc_id", "text", "ts"])
+        (spark.createDataFrame(pdf)
+         .coalesce(1).write.mode("append").parquet(in_dir))
+
+    # batch 1: 10 originals + 10 exact dups (whitespace-jittered)
+    rows = []
+    for i, t in enumerate(texts):
+        rows.append((f"o{i:02d}", t, t0 + timedelta(seconds=i)))
+        rows.append((f"d{i:02d}", "  " + t.upper().lower() + " ",
+                     t0 + timedelta(seconds=i, milliseconds=500)))
+    drop(rows)
+    stream_dedup_exact(spark, in_dir, out_dir, ckpt, watermark="10 minutes")
+
+    got = spark.read.parquet(out_dir).toPandas()
+    assert len(got) == 10                      # one survivor per group
+    assert got["chash"].nunique() == 10
+
+    # batch 2 (restart from checkpoint): more dups inside the watermark
+    # window + 2 genuinely new docs -> only the new docs are emitted
+    rows2 = [(f"x{i:02d}", texts[i], t0 + timedelta(seconds=90 + i))
+             for i in range(5)]
+    rows2 += [(f"n{j}", f"brand new content {j}",
+               t0 + timedelta(seconds=120 + j)) for j in range(2)]
+    drop(rows2)
+    stream_dedup_exact(spark, in_dir, out_dir, ckpt, watermark="10 minutes")
+
+    got2 = spark.read.parquet(out_dir).toPandas()
+    assert len(got2) == 12, got2.sort_values("doc_id")
+    assert got2["chash"].nunique() == 12
+
+    # parity with the batch operator's grouping on the same corpus
+    all_rows = spark.read.parquet(in_dir)
+    from pyspark.sql import functions as F
+    norm = F.concat_ws(" ", F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    batch_groups = all_rows.select(F.md5(norm).alias("chash")).distinct()
+    assert batch_groups.count() == 12
+    assert (set(got2["chash"]) ==
+            {r["chash"] for r in batch_groups.collect()})
