@@ -303,7 +303,8 @@ def _flat_explode_idx_local(lengths: np.ndarray, t: int) -> np.ndarray:
 
 def features_long(doc_df: DataFrame, cfg: FeatureConfig | None = None,
                   num_partitions: int | None = None,
-                  cell_budget: int = CELL_BUDGET) -> DataFrame:
+                  cell_budget: int = CELL_BUDGET,
+                  columns: list[str] | None = None) -> DataFrame:
     """Doc-grain input -> long-form full feature matrix.
 
     43 columns single-interval; 169/121 multi-interval (resample, align,
@@ -315,14 +316,28 @@ def features_long(doc_df: DataFrame, cfg: FeatureConfig | None = None,
     the Arrow list buffers and every output column is built zero-copy
     from the kernel's NumPy arrays (no pandas block consolidation, which
     would copy the whole 121-column matrix once more).
+
+    ``columns`` projects the OUTPUT at the worker: Catalyst cannot push
+    a projection through a Python map node, so a downstream select still
+    pays Arrow transfer + row conversion for all 121 columns — the
+    dominant cost of this job (BENCH/BASELINE.md: the funnel moves
+    ~1-2 GB/s while the kernel computes ~3M tokens/s).  Passing the
+    needed subset here keeps the kernel fused (it computes everything;
+    compute is cheap) but ships only the requested features.
     """
     import pyarrow as pa
 
     cfg = cfg or FeatureConfig()
     if num_partitions:
         doc_df = doc_df.repartition(num_partitions)
-    schema = features_long_schema(cfg)
     feat_cols = feature_columns_for(cfg)
+    if columns is not None:
+        unknown = sorted(set(columns) - set(feat_cols))
+        if unknown:
+            raise ValueError(f"unknown feature columns: {unknown}")
+        feat_cols = [c for c in feat_cols if c in set(columns)]
+    schema = ("source string, doc_id string, offset int, token int, "
+              + ", ".join(f"{c} double" for c in feat_cols))
 
     def run(batches):
         import pyarrow.compute as pc

@@ -169,3 +169,26 @@ def test_zero_copy_arrow_yield_across_chunks(spark, doc_df):
         b = normal[c].to_numpy()
         ok = (a == b) | (np.isnan(a) & np.isnan(b))
         assert ok.all(), (c, int((~ok).sum()))
+
+
+def test_features_long_column_projection(spark, doc_df):
+    """`columns=` ships only the requested features through the Arrow
+    funnel (a projection Catalyst cannot push through the Python map
+    node) while keeping values identical to the full run."""
+    import pytest
+
+    want = ["rsi_change_1_base", "rsi_percentile_20_base",
+            "mean_rsi_across_intervals"]
+    proj = features_long(doc_df, CFG121, columns=want).toPandas() \
+        .sort_values(["source", "doc_id", "offset"]).reset_index(drop=True)
+    assert list(proj.columns) == ["source", "doc_id", "offset",
+                                  "token"] + want
+    full = features_long(doc_df, CFG121).toPandas() \
+        .sort_values(["source", "doc_id", "offset"]).reset_index(drop=True)
+    for c in want:
+        a, b = proj[c].to_numpy(), full[c].to_numpy()
+        ok = (a == b) | (np.isnan(a) & np.isnan(b))
+        assert ok.all(), c
+
+    with pytest.raises(ValueError, match="unknown feature columns"):
+        features_long(doc_df, CFG121, columns=["nope"])
