@@ -21,6 +21,8 @@ docstrings so parity can be audited.
 
 __version__ = "0.1.0"
 
+from atr_adaptive_laguerre_spark.api import ATRAdaptiveLaguerreRSI, RSIUpdater
 from atr_adaptive_laguerre_spark.config import FeatureConfig
 
-__all__ = ["FeatureConfig", "__version__"]
+__all__ = ["ATRAdaptiveLaguerreRSI", "FeatureConfig", "RSIUpdater",
+           "__version__"]

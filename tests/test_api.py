@@ -1,0 +1,98 @@
+"""Reference-shaped top-level API (api.py): the entry points a user of
+the reference calls, re-expressed over Spark DataFrames."""
+
+import numpy as np
+import pytest
+
+from atr_adaptive_laguerre_spark import ATRAdaptiveLaguerreRSI, FeatureConfig
+from atr_adaptive_laguerre_spark.data.corpus import make_tokens, tokens_to_ohlcv
+from atr_adaptive_laguerre_spark.kernel.reference_impl import core_loop
+
+
+def test_updater_matches_reference_loop():
+    """RSIUpdater (the reference's update/update_full) is bit-identical
+    to the batch loop oracle at every step."""
+    eng = ATRAdaptiveLaguerreRSI(FeatureConfig(atr_period=14))
+    toks = make_tokens(7, 120)
+    h, l, c = tokens_to_ohlcv(toks)
+    want = core_loop(h, l, c, 14, 0.75)
+    up = eng.updater()
+    for i in range(len(c)):
+        full = up.update_full(h[i], l[i], c[i])
+        assert full["rsi"] == want["rsi"][i], i
+        assert full["atr"] == want["atr"][i], i
+        assert full["L3"] == want["L3"][i], i
+
+
+def test_fit_transform_doc_grain(spark, corpus_parquet):
+    """fit_transform on the input_hint token table returns per-row RSI
+    equal to the kernel path."""
+    eng = ATRAdaptiveLaguerreRSI(FeatureConfig(atr_period=14))
+    doc = spark.read.parquet(corpus_parquet)
+    out = (eng.fit_transform(doc).toPandas()
+           .sort_values(["doc_id", "offset"]).reset_index(drop=True))
+    assert list(out.columns) == ["source", "doc_id", "offset", "token",
+                                 "rsi"]
+    assert ((out["rsi"] >= 0) & (out["rsi"] <= 1)).all()
+    one = out[out["doc_id"] == out["doc_id"].iloc[0]]
+    toks = one["token"].to_numpy(dtype=np.int64)
+    h, l, c = tokens_to_ohlcv(toks)
+    want = core_loop(h, l, c, 14, 0.75)
+    np.testing.assert_array_equal(one["rsi"].to_numpy(), want["rsi"])
+
+
+def test_fit_transform_ohlcv_long_form(spark):
+    """fit_transform on a long-form OHLCV bar table appends rsi per
+    entity, matching the loop oracle."""
+    eng = ATRAdaptiveLaguerreRSI(FeatureConfig(atr_period=14))
+    rows = []
+    series = {}
+    for d in range(3):
+        toks = make_tokens(d, 80)
+        h, l, c = tokens_to_ohlcv(toks)
+        series[f"d{d}"] = (h, l, c)
+        for i in range(80):
+            rows.append(("s0", f"d{d}", i, float(h[i]), float(l[i]),
+                         float(c[i])))
+    bars = spark.createDataFrame(
+        rows, "source string, doc_id string, offset int, "
+              "high double, low double, close double")
+    out = (eng.fit_transform(bars).toPandas()
+           .sort_values(["doc_id", "offset"]).reset_index(drop=True))
+    for d, (h, l, c) in series.items():
+        want = core_loop(h, l, c, 14, 0.75)
+        got = out.loc[out["doc_id"] == d, "rsi"].to_numpy()
+        np.testing.assert_array_equal(got, want["rsi"], err_msg=d)
+
+
+def test_fit_transform_features_and_projection(spark, corpus_parquet):
+    eng = ATRAdaptiveLaguerreRSI(
+        FeatureConfig.multi_interval(multiplier_1=3, multiplier_2=12,
+                                     atr_period=14))
+    doc = spark.read.parquet(corpus_parquet)
+    sub = eng.fit_transform_features(
+        doc, columns=["rsi_change_1_base"]).toPandas()
+    assert list(sub.columns) == ["source", "doc_id", "offset", "token",
+                                 "rsi_change_1_base"]
+    assert len(sub) > 0
+
+
+def test_lookback_validation(spark, corpus_parquet):
+    """validate_lookback raises naming short entities (doc-grain n_tok
+    fast path) and passes when every entity is long enough."""
+    doc = spark.read.parquet(corpus_parquet)
+    short_cfg = ATRAdaptiveLaguerreRSI(FeatureConfig(atr_period=14))
+    short_cfg.validate_lookback(doc)   # corpus min len 40 >= 14+10+... ok
+
+    huge = ATRAdaptiveLaguerreRSI(
+        FeatureConfig(atr_period=14, stats_window=2000))
+    with pytest.raises(ValueError, match="shorter than lookback"):
+        huge.validate_lookback(doc)
+
+    # long-form path
+    long_df = doc.selectExpr("source", "doc_id",
+                             "posexplode(tokens) as (offset, token)")
+    huge_lf = ATRAdaptiveLaguerreRSI(
+        FeatureConfig(atr_period=14, stats_window=2000))
+    with pytest.raises(ValueError, match="shorter than lookback"):
+        huge_lf.validate_lookback(long_df)
