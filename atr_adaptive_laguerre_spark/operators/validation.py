@@ -244,3 +244,90 @@ ORACLES = {
     "ood_regime_split": ORACLE_OOD_REGIME_SPLIT,
     "ood_robustness": ORACLE_OOD_ROBUSTNESS,
 }
+
+
+# ---------------------------------------------------------------------------
+# non-anticipation validator (reference validation/non_anticipative.py:22-156)
+# ---------------------------------------------------------------------------
+
+def validate_non_anticipative(feature_fn, doc_df: DataFrame,
+                              n_tests: int = 8,
+                              min_subset_ratio: float = 0.5,
+                              rtol: float = 1e-9,
+                              atol: float = 1e-12) -> bool:
+    """Progressive-prefix lookahead-bias check, distributed.
+
+    Reference methodology (``validation/non_anticipative.py:22-156``):
+    compute the feature on the full series and on progressively longer
+    prefixes; if any overlapping value changes when future bars are
+    appended, the feature is anticipative -> raise ValueError.  The
+    reference runs n_tests sequential recomputes; here every
+    (entity, prefix-length) pair becomes just another entity to the
+    lockstep kernel, so ALL prefix variants compute in ONE Spark job and
+    the comparison is a single join + aggregation.  Comparison matches
+    the reference: allclose(rtol=1e-9, atol=1e-12), NaN==NaN.
+
+    ``feature_fn``: doc-grain DataFrame -> long-form DataFrame keyed by
+    (source, doc_id, offset) with double feature columns (e.g.
+    ``ATRAdaptiveLaguerreRSI(cfg).fit_transform_features``).  At corpus
+    scale pass a SAMPLE of entities — validation cost is
+    ~n_tests * 0.75x the sample's feature cost by design.
+
+    Returns True when non-anticipative; raises ValueError naming the
+    offending columns and their mismatch counts otherwise.
+    """
+    if not callable(feature_fn):
+        raise TypeError(f"feature_fn must be callable, got {feature_fn!r}")
+    if n_tests < 1:
+        raise ValueError(f"n_tests must be >= 1, got {n_tests}")
+    if not 0.0 < min_subset_ratio <= 1.0:
+        raise ValueError(
+            f"min_subset_ratio must be in (0, 1], got {min_subset_ratio}")
+
+    sep = "#p"          # doc_id suffix marking a prefix variant
+    variants = None
+    for k in range(n_tests):
+        frac = (min_subset_ratio
+                + (1.0 - min_subset_ratio) * k / n_tests)
+        cut = F.greatest(F.ceil(F.col("n_tok") * F.lit(frac)), F.lit(10))
+        cut = F.least(cut, F.col("n_tok")).cast("int")
+        v = doc_df.select(
+            "source",
+            F.concat(F.col("doc_id"), F.lit(f"{sep}{k}")).alias("doc_id"),
+            F.slice(F.col("tokens"), 1, cut).alias("tokens"),
+            cut.alias("n_tok"))
+        variants = v if variants is None else variants.unionByName(v)
+
+    full = feature_fn(doc_df)
+    trunc = feature_fn(variants)
+    feat_cols = [f.name for f in full.schema.fields
+                 if f.dataType.simpleString() == "double"]
+
+    t = trunc.select(
+        "source",
+        F.substring_index("doc_id", sep, 1).alias("doc_id"),
+        "offset",
+        *[F.col(c).alias(f"{c}__t") for c in feat_cols])
+    j = t.join(full.select("source", "doc_id", "offset", *feat_cols),
+               ["source", "doc_id", "offset"])
+
+    def bad(c):
+        a, b = F.col(f"{c}__t"), F.col(c)
+        # null-vs-value must COUNT as a mismatch (e.g. lead() leaves a
+        # null at a prefix tail where the full run has a value) — a
+        # naive a-b comparison silently drops nulls from the sum
+        both_null = a.isNull() & b.isNull()
+        neither = a.isNotNull() & b.isNotNull()
+        both_nan = neither & F.isnan(a) & F.isnan(b)
+        close = neither & (F.abs(a - b)
+                           <= (F.lit(atol) + F.lit(rtol) * F.abs(b)))
+        return F.sum((~(both_null | both_nan | close))
+                     .cast("long")).alias(c)
+
+    counts = j.agg(*[bad(c) for c in feat_cols]).collect()[0].asDict()
+    leaky = {c: n for c, n in counts.items() if n}
+    if leaky:
+        raise ValueError(
+            f"lookahead bias detected: overlapping values changed when "
+            f"future bars were appended — {leaky}")
+    return True

@@ -96,3 +96,40 @@ def test_lookback_validation(spark, corpus_parquet):
         FeatureConfig(atr_period=14, stats_window=2000))
     with pytest.raises(ValueError, match="shorter than lookback"):
         huge_lf.validate_lookback(long_df)
+
+
+def test_validate_non_anticipative_passes_engine(spark, corpus_parquet):
+    """The engine's own feature pipeline must pass the distributed
+    progressive-prefix validator (reference methodology: allclose on
+    every overlap when future bars are appended)."""
+    from atr_adaptive_laguerre_spark.operators.validation import (
+        validate_non_anticipative,
+    )
+
+    eng = ATRAdaptiveLaguerreRSI(FeatureConfig(atr_period=14))
+    doc = spark.read.parquet(corpus_parquet).limit(20)
+    assert validate_non_anticipative(eng.fit_transform_features, doc,
+                                     n_tests=4) is True
+
+
+def test_validate_non_anticipative_catches_lookahead(spark, corpus_parquet):
+    """A deliberately anticipative feature (lead-1 RSI) must be caught
+    and named."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from atr_adaptive_laguerre_spark.operators.validation import (
+        validate_non_anticipative,
+    )
+
+    eng = ATRAdaptiveLaguerreRSI(FeatureConfig(atr_period=14))
+
+    def leaky_fn(doc_df):
+        out = eng.fit_transform(doc_df)
+        w = Window.partitionBy("source", "doc_id").orderBy("offset")
+        return out.withColumn(
+            "rsi_lead", F.lead("rsi", 1).over(w)).drop("rsi")
+
+    doc = spark.read.parquet(corpus_parquet).limit(12)
+    with pytest.raises(ValueError, match="rsi_lead"):
+        validate_non_anticipative(leaky_fn, doc, n_tests=3)
