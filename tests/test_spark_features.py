@@ -192,3 +192,27 @@ def test_features_long_column_projection(spark, doc_df):
 
     with pytest.raises(ValueError, match="unknown feature columns"):
         features_long(doc_df, CFG121, columns=["nope"])
+
+
+def test_read_sequences_table_and_path(spark, doc_df):
+    """sources.read_sequences resolves catalog table references via
+    spark.read.table (the Iceberg path — exercised through a temp view,
+    the catalog machinery is identical) and paths via parquet; snapshot
+    pins are rejected on paths instead of silently ignored."""
+    import pytest
+
+    from atr_adaptive_laguerre_spark.engine.sources import (
+        is_table_ref, read_sequences,
+    )
+
+    assert is_table_ref("db.tokens") and is_table_ref("cat.db.tokens")
+    assert not is_table_ref("/data/tokens.parquet")
+    assert not is_table_ref("rel/dir")
+
+    doc_df.createOrReplaceTempView("seq_view")
+    via_table = read_sequences(spark, "seq_view")
+    assert via_table.count() == doc_df.count()
+    assert set(via_table.columns) == set(doc_df.columns)
+
+    with pytest.raises(ValueError, match="snapshot pinning"):
+        read_sequences(spark, "/tmp/x.parquet", snapshot_id=123)

@@ -32,6 +32,8 @@ def main() -> None:
     ap.add_argument("--multiplier-1", type=int, default=3)
     ap.add_argument("--multiplier-2", type=int, default=12)
     ap.add_argument("--availability", action="store_true")
+    ap.add_argument("--snapshot-id", type=int, default=None,
+                    help="pin an Iceberg snapshot (table inputs only)")
     ap.add_argument("--n-buckets", type=int, default=16)
     ap.add_argument("--buckets-per-wave", type=int, default=4)
     args = ap.parse_args()
@@ -40,6 +42,7 @@ def main() -> None:
 
     from atr_adaptive_laguerre_spark.config import FeatureConfig
     from atr_adaptive_laguerre_spark.engine.manifest import run_resumable
+    from atr_adaptive_laguerre_spark.engine.sources import read_sequences
 
     spark = SparkSession.builder.appName(
         "atr-adaptive-laguerre-features").getOrCreate()
@@ -51,7 +54,9 @@ def main() -> None:
     else:
         cfg = FeatureConfig(atr_period=args.atr_period)
 
-    doc_df = spark.read.parquet(args.input)
+    # --input: Iceberg/catalog table reference OR parquet path
+    doc_df = read_sequences(spark, args.input,
+                            snapshot_id=args.snapshot_id)
     summary = run_resumable(
         spark, doc_df, cfg, args.output, args.manifest,
         run_id=args.run_id, n_buckets=args.n_buckets,
