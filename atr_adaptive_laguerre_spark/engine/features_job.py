@@ -389,7 +389,8 @@ def features_doc_schema(cfg: FeatureConfig) -> str:
 
 
 def features_doc(doc_df: DataFrame, cfg: FeatureConfig | None = None,
-                 num_partitions: int | None = None) -> DataFrame:
+                 num_partitions: int | None = None,
+                 columns: list[str] | None = None) -> DataFrame:
     """Doc-grain input -> doc-grain output: one row per entity carrying
     the original ``tokens`` array (bit-exact pass-through) plus each
     feature as an ``array<double>`` aligned to the token positions.
@@ -399,14 +400,24 @@ def features_doc(doc_df: DataFrame, cfg: FeatureConfig | None = None,
     collapses, which matters when the 121-column matrix is the dominant
     byte stream.  List columns are assembled zero-copy from the kernel's
     pooled 1-D outputs (ListArray.from_arrays over the chunk offsets).
+
+    ``columns`` worker-projects the output exactly like
+    :func:`features_long` (Catalyst cannot prune through the Python map
+    node; the kernel stays fused, only requested features ship).
     """
     import pyarrow as pa
 
     cfg = cfg or FeatureConfig()
     if num_partitions:
         doc_df = doc_df.repartition(num_partitions)
-    schema = features_doc_schema(cfg)
     feat_cols = feature_columns_for(cfg)
+    if columns is not None:
+        unknown = sorted(set(columns) - set(feat_cols))
+        if unknown:
+            raise ValueError(f"unknown feature columns: {unknown}")
+        feat_cols = [c for c in feat_cols if c in set(columns)]
+    schema = ("source string, doc_id string, n_tok int, tokens array<int>, "
+              + ", ".join(f"{c} array<double>" for c in feat_cols))
 
     def run(batches):
         import pyarrow.compute as pc

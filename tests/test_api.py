@@ -133,3 +133,27 @@ def test_validate_non_anticipative_catches_lookahead(spark, corpus_parquet):
     doc = spark.read.parquet(corpus_parquet).limit(12)
     with pytest.raises(ValueError, match="rsi_lead"):
         validate_non_anticipative(leaky_fn, doc, n_tests=3)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 10_000), n=st.integers(1, 200),
+       atr_period=st.integers(2, 40),
+       offset=st.floats(0.0, 2.0, allow_nan=False))
+def test_updater_property_bit_exact(seed, n, atr_period, offset):
+    """Property: across random series lengths and configs, the O(1)
+    updater replays the batch loop oracle bit-for-bit at every step —
+    including n < atr_period warm-up and degenerate flat stretches."""
+    toks = make_tokens(seed, n)
+    h, l, c = tokens_to_ohlcv(toks)
+    want = core_loop(h, l, c, atr_period, offset)
+    up = ATRAdaptiveLaguerreRSI(
+        FeatureConfig(atr_period=atr_period,
+                      adaptive_offset=offset)).updater()
+    for i in range(n):
+        full = up.update_full(h[i], l[i], c[i])
+        assert full["rsi"] == want["rsi"][i], (seed, i)
+        assert full["atr"] == want["atr"][i], (seed, i)
+        assert full["gamma"] == want["gamma"][i], (seed, i)

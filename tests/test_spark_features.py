@@ -6,7 +6,7 @@ import pytest
 
 from atr_adaptive_laguerre_spark.config import FeatureConfig
 from atr_adaptive_laguerre_spark.engine.features_job import (
-    features_long, feature_columns_for,
+    features_doc, features_long, feature_columns_for,
 )
 
 CFG43 = FeatureConfig(atr_period=14)
@@ -216,3 +216,19 @@ def test_read_sequences_table_and_path(spark, doc_df):
 
     with pytest.raises(ValueError, match="snapshot pinning"):
         read_sequences(spark, "/tmp/x.parquet", snapshot_id=123)
+
+
+def test_features_doc_column_projection(spark, doc_df):
+    """Doc-grain output honors the same worker-side projection."""
+    want = ["rsi_change_1_base"]
+    proj = features_doc(doc_df, CFG121, columns=want).toPandas()
+    assert list(proj.columns) == ["source", "doc_id", "n_tok",
+                                  "tokens"] + want
+    full = features_doc(doc_df, CFG121).toPandas()
+    a = proj.sort_values("doc_id").reset_index(drop=True)
+    b = full.sort_values("doc_id").reset_index(drop=True)
+    for i in range(len(a)):
+        x = np.asarray(a.loc[i, "rsi_change_1_base"])
+        y = np.asarray(b.loc[i, "rsi_change_1_base"])
+        ok = (x == y) | (np.isnan(x) & np.isnan(y))
+        assert ok.all(), i
