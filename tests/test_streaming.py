@@ -438,3 +438,75 @@ def test_stream_dedup_exact_bounded_state(spark, tmp_path):
     assert batch_groups.count() == 12
     assert (set(got2["chash"]) ==
             {r["chash"] for r in batch_groups.collect()})
+
+
+def test_stream_121_availability_matches_batch(spark, tmp_path):
+    """Streaming availability-mode 121: rows are emitted once final
+    (every grain has a completed window with availability >= the row's)
+    and must equal the batch kernel on the FULL series bit-for-bit —
+    across 3 file drops and a checkpoint restart, with replayed rows
+    deduped."""
+    from atr_adaptive_laguerre_spark.data.corpus import (
+        tokens_to_availability,
+    )
+    from atr_adaptive_laguerre_spark.engine.features_job import (
+        feature_columns_for,
+    )
+    from atr_adaptive_laguerre_spark.kernel.multi_interval_batched import (
+        multi_interval_long,
+    )
+    from atr_adaptive_laguerre_spark.streaming.multi_interval import (
+        stream_features121_availability,
+    )
+
+    cfg = FeatureConfig.multi_interval(multiplier_1=3, multiplier_2=12,
+                                       atr_period=14, availability=True)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    N = 150
+    docs = {}
+    for i in range(3):
+        toks = make_tokens(40 + i, N)
+        h, l, c = tokens_to_ohlcv(toks)
+        docs[f"d{i}"] = (h, l, c, tokens_to_availability(toks))
+
+    def drop(lo, hi):
+        rows = []
+        for did, (h, l, c, av) in docs.items():
+            for j in range(lo, hi):
+                rows.append(("s0", did, j, float(h[j]), float(l[j]),
+                             float(c[j]), float(av[j])))
+        pdf = pd.DataFrame(rows, columns=["source", "doc_id", "offset",
+                                          "high", "low", "close", "avail"])
+        (spark.createDataFrame(pdf)
+         .coalesce(1).write.mode("append").parquet(in_dir))
+
+    drop(0, 40)
+    stream_features121_availability(spark, in_dir, out_dir, ckpt, cfg)
+    drop(40, 90)
+    drop(80, 150)        # overlap 80-90 replays -> must be ignored
+    stream_features121_availability(spark, in_dir, out_dir, ckpt, cfg)
+
+    got = (spark.read.parquet(out_dir).toPandas()
+           .sort_values(["doc_id", "offset"]).reset_index(drop=True))
+    assert got.groupby(["doc_id", "offset"]).size().max() == 1
+
+    feat_cols = feature_columns_for(cfg)
+    for did, (h, l, c, av) in docs.items():
+        want = multi_interval_long(h[None, :], l[None, :], c[None, :],
+                                   np.array([N], dtype=np.int64), cfg,
+                                   avail=av[None, :])
+        sub = got[got["doc_id"] == did].sort_values("offset")
+        # emit horizon: rows with avail <= newest mult2 window's avail
+        lm2 = N // 12
+        av_cap = min(av[(N // 3) * 3 - 1], av[lm2 * 12 - 1])
+        exp_hi = int(np.searchsorted(av, av_cap, side="right"))
+        assert sub["offset"].tolist() == list(range(exp_hi)), did
+        for col in feat_cols:
+            a = sub[col].to_numpy()
+            b = want[col][:exp_hi]
+            ok = (a == b) | (np.isnan(a) & np.isnan(b))
+            assert ok.all(), (did, col, int((~ok).sum()))
