@@ -510,3 +510,62 @@ def test_stream_121_availability_matches_batch(spark, tmp_path):
             b = want[col][:exp_hi]
             ok = (a == b) | (np.isnan(a) & np.isnan(b))
             assert ok.all(), (did, col, int((~ok).sum()))
+
+
+def test_stream_121_short_entity_emits_nothing_then_catches_up(spark,
+                                                               tmp_path):
+    """An entity shorter than multiplier_2 has no complete mult2 window:
+    no row is final, nothing is emitted (the batch bfill for its early
+    rows is still open). Once enough bars arrive in a later drop, the
+    backlog emits and matches batch."""
+    from atr_adaptive_laguerre_spark.data.corpus import (
+        tokens_to_availability,
+    )
+    from atr_adaptive_laguerre_spark.kernel.multi_interval_batched import (
+        multi_interval_long,
+    )
+    from atr_adaptive_laguerre_spark.streaming.multi_interval import (
+        stream_features121_availability,
+    )
+
+    cfg = FeatureConfig.multi_interval(multiplier_1=3, multiplier_2=12,
+                                       atr_period=14, availability=True)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    toks = make_tokens(99, 30)
+    h, l, c = tokens_to_ohlcv(toks)
+    av = tokens_to_availability(toks)
+
+    def drop(lo, hi):
+        rows = [("s0", "dshort", j, float(h[j]), float(l[j]), float(c[j]),
+                 float(av[j])) for j in range(lo, hi)]
+        pdf = pd.DataFrame(rows, columns=["source", "doc_id", "offset",
+                                          "high", "low", "close", "avail"])
+        (spark.createDataFrame(pdf)
+         .coalesce(1).write.mode("append").parquet(in_dir))
+
+    drop(0, 8)       # < multiplier_2: nothing final
+    stream_features121_availability(spark, in_dir, out_dir, ckpt, cfg)
+    import glob
+    files = glob.glob(f"{out_dir}/*.parquet")
+    n0 = (spark.read.parquet(out_dir).count()
+          if files else 0)
+    assert n0 == 0, n0
+
+    drop(8, 30)      # 2 complete mult2 windows now
+    stream_features121_availability(spark, in_dir, out_dir, ckpt, cfg)
+    got = (spark.read.parquet(out_dir).toPandas()
+           .sort_values("offset").reset_index(drop=True))
+    av_cap = min(av[(30 // 3) * 3 - 1], av[(30 // 12) * 12 - 1])
+    exp_hi = int(np.searchsorted(av, av_cap, side="right"))
+    assert got["offset"].tolist() == list(range(exp_hi))
+    want = multi_interval_long(h[None, :], l[None, :], c[None, :],
+                               np.array([30], dtype=np.int64), cfg,
+                               avail=av[None, :])
+    a = got["mean_rsi_across_intervals"].to_numpy()
+    b = want["mean_rsi_across_intervals"][:exp_hi]
+    ok = (a == b) | (np.isnan(a) & np.isnan(b))
+    assert ok.all()
