@@ -65,7 +65,8 @@ def run_resumable(spark: SparkSession, doc_df: DataFrame,
                   cfg: FeatureConfig, output_dir: str, manifest_dir: str,
                   run_id: str | None = None, n_buckets: int = 16,
                   buckets_per_wave: int = 4,
-                  max_waves: int | None = None) -> dict:
+                  max_waves: int | None = None,
+                  columns: list[str] | None = None) -> dict:
     """Run the feature job bucket-wave by bucket-wave, committing output
     and manifest after each wave.  Re-invoking with the same ``run_id``
     resumes after the last committed wave.  ``max_waves`` exists to let
@@ -87,7 +88,8 @@ def run_resumable(spark: SparkSession, doc_df: DataFrame,
     for wave in waves:
         t0 = time.time()
         wave_docs = docs.filter(F.col("bucket").isin([int(b) for b in wave]))
-        feats = features_long(wave_docs.drop("bucket"), cfg)
+        feats = features_long(wave_docs.drop("bucket"), cfg,
+                              columns=columns)
         out = feats.withColumn("bucket", bucket_col(n_buckets))
         # Idempotent wave commit: dynamic partition overwrite replaces
         # exactly this wave's bucket directories and leaves the rest

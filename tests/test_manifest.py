@@ -103,3 +103,19 @@ def test_crash_between_output_and_manifest_is_idempotent(
     dupes = (feats.groupBy("source", "doc_id", "offset").count()
              .filter(F.col("count") > 1).count())
     assert dupes == 0
+
+
+def test_resumable_with_column_projection(spark, corpus_parquet, tmp_path):
+    """columns= flows through the checkpoint-resume job: the committed
+    output carries only the requested features (plus keys)."""
+    doc_df = spark.read.parquet(corpus_parquet)
+    out_dir = str(tmp_path / "out_proj")
+    man_dir = str(tmp_path / "man_proj")
+    r = run_resumable(spark, doc_df, CFG, out_dir, man_dir,
+                      run_id="proj1", n_buckets=4, buckets_per_wave=4,
+                      columns=["rsi_change_1"])
+    assert not r["remaining"]
+    got = spark.read.parquet(out_dir)
+    assert {"source", "doc_id", "offset", "token",
+            "rsi_change_1"} <= set(got.columns)
+    assert "rsi_change_5" not in got.columns

@@ -34,6 +34,9 @@ def main() -> None:
     ap.add_argument("--availability", action="store_true")
     ap.add_argument("--snapshot-id", type=int, default=None,
                     help="pin an Iceberg snapshot (table inputs only)")
+    ap.add_argument("--columns", default=None,
+                    help="comma-separated feature columns to ship "
+                         "(worker-side projection; default all)")
     ap.add_argument("--n-buckets", type=int, default=16)
     ap.add_argument("--buckets-per-wave", type=int, default=4)
     args = ap.parse_args()
@@ -57,10 +60,11 @@ def main() -> None:
     # --input: Iceberg/catalog table reference OR parquet path
     doc_df = read_sequences(spark, args.input,
                             snapshot_id=args.snapshot_id)
+    cols = args.columns.split(",") if args.columns else None
     summary = run_resumable(
         spark, doc_df, cfg, args.output, args.manifest,
         run_id=args.run_id, n_buckets=args.n_buckets,
-        buckets_per_wave=args.buckets_per_wave)
+        buckets_per_wave=args.buckets_per_wave, columns=cols)
     print(json.dumps(summary))
     spark.stop()
 
