@@ -19,7 +19,7 @@ No code is copied from the reference; semantics are cited by file:line in
 docstrings so parity can be audited.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from atr_adaptive_laguerre_spark.api import ATRAdaptiveLaguerreRSI, RSIUpdater
 from atr_adaptive_laguerre_spark.config import FeatureConfig
