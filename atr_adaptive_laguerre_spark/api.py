@@ -89,23 +89,17 @@ class ATRAdaptiveLaguerreRSI:
         (doc-grain: n_tok; long-form: count per entity)."""
         need = self.lookback()
         if "n_tok" in df.columns:
-            short = df.filter(F.col("n_tok") < need)
-            n = short.count()
-            if n:
-                ex = [r["doc_id"] for r in short.select("doc_id")
-                      .limit(3).collect()]
-                raise ValueError(
-                    f"{n} entities shorter than lookback {need}; e.g. {ex}")
+            lengths = df.select("doc_id", F.col("n_tok").alias("n"))
         else:
-            per = (df.groupBy("source", "doc_id")
-                   .agg(F.count(F.lit(1)).alias("n"))
-                   .filter(F.col("n") < need))
-            n = per.count()
-            if n:
-                ex = [r["doc_id"] for r in per.select("doc_id")
-                      .limit(3).collect()]
-                raise ValueError(
-                    f"{n} entities shorter than lookback {need}; e.g. {ex}")
+            lengths = (df.groupBy("source", "doc_id")
+                       .agg(F.count(F.lit(1)).alias("n")))
+        short = lengths.filter(F.col("n") < need)
+        n = short.count()
+        if n:
+            ex = [r["doc_id"] for r in short.select("doc_id")
+                  .limit(3).collect()]
+            raise ValueError(
+                f"{n} entities shorter than lookback {need}; e.g. {ex}")
 
     # -- entry points ----------------------------------------------------
 

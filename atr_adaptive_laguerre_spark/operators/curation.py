@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from atr_adaptive_laguerre_spark.operators.text import (
-    EN_STOPWORDS, _r6, _sw_sql, words_col,
+    _r6, _sw_sql, quality_cols, words_col,
 )
 
 MIN_TOKENS = 20
@@ -33,12 +33,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     w = words_col()
     n = F.size(w)
-    sw_list = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    stop_ratio = (F.size(F.filter(w, lambda x: F.array_contains(sw_list, x)))
-                  .cast("double") / n)
-    ttr = F.size(F.array_distinct(w)).cast("double") / n
-    quality = (F.least(n.cast("double") / 100.0, F.lit(1.0)) * 0.4
-               + stop_ratio * 0.3 + ttr * 0.3)
+    stop_ratio, _ttr, quality = quality_cols(w)
     has_cjk = F.length(F.regexp_replace(F.col("text"),
                                         r"[^一-鿿]", "")) > 0
     guess = (F.when(has_cjk, "cjk")

@@ -39,11 +39,19 @@ def _r6(col):
     return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 
 
-def _cosine(a, b):
+def _norm(v):
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _cosine(a, b, na=None, nb=None):
+    """Cosine similarity; pass precomputed norms ``na``/``nb`` to avoid
+    re-deriving them per PAIR inside a join (bit-identical — the same
+    sqrt of the same sum, computed once per vector instead of once per
+    candidate row)."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    na = _norm(a) if na is None else na
+    nb = _norm(b) if nb is None else nb
     return dot / (na * nb)
 
 
@@ -52,14 +60,17 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast against the corpus scan)."""
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    emb = emb.withColumn("nrm", _norm(F.col("v")))   # once per vector
     q = (emb.filter(F.col("vec_id") < N_QUERIES)
-         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                 F.col("nrm").alias("qn")))
     cand = emb.select(F.col("vec_id").alias("cand_id"),
-                      F.col("v").alias("cv"))
+                      F.col("v").alias("cv"), F.col("nrm").alias("cn"))
     sims = (F.broadcast(q).crossJoin(cand)
             .filter(F.col("query_id") != F.col("cand_id"))
             .select("query_id", "cand_id",
-                    _r6(_cosine(F.col("qv"), F.col("cv"))).alias("cos_sim")))
+                    _r6(_cosine(F.col("qv"), F.col("cv"),
+                                F.col("qn"), F.col("cn"))).alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
                                                F.col("cand_id").asc())
     return (sims.withColumn("rank", F.row_number().over(w))
@@ -205,7 +216,8 @@ def _centroids(emb: DataFrame) -> DataFrame:
             .groupBy("label")
             .agg(F.transform(F.array_sort(F.collect_list(F.struct("d", "c"))),
                              lambda s: s.c).alias("cv"))
-            .select(F.col("label").alias("cell"), "cv"))
+            .select(F.col("label").alias("cell"), "cv",
+                    _norm(F.col("cv")).alias("cn")))
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,33 +232,41 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrink by ~cells/NPROBE vs the full scan."""
     emb = _emb(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    emb = emb.withColumn("nrm", _norm(F.col("v")))   # once per vector
     cent = _centroids(emb)
     # inverted lists: nearest cell per corpus vector
-    asgn_sim = (emb.select("vec_id", "v")
+    asgn_sim = (emb.select("vec_id", "v", "nrm")
                 .crossJoin(F.broadcast(cent))
-                .select("vec_id", "v", "cell",
-                        _r6(_cosine(F.col("v"), F.col("cv"))).alias("acos")))
+                .select("vec_id", "v", "nrm", "cell",
+                        _r6(_cosine(F.col("v"), F.col("cv"),
+                                    F.col("nrm"), F.col("cn")))
+                        .alias("acos")))
     wa = Window.partitionBy("vec_id").orderBy(F.col("acos").desc(),
                                               F.col("cell").asc())
     assigned = (asgn_sim.withColumn("arank", F.row_number().over(wa))
                 .filter(F.col("arank") == 1)
-                .select("vec_id", "v", "cell"))
+                .select("vec_id", "v", "nrm", "cell"))
     # probe sets: NPROBE nearest cells per query vector
     q = (emb.filter(F.col("vec_id") < IVF_N_QUERIES)
-         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                 F.col("nrm").alias("qn")))
     probe_sim = (F.broadcast(q).crossJoin(F.broadcast(cent))
-                 .select("query_id", "qv", "cell",
-                         _r6(_cosine(F.col("qv"), F.col("cv"))).alias("pcos")))
+                 .select("query_id", "qv", "qn", "cell",
+                         _r6(_cosine(F.col("qv"), F.col("cv"),
+                                     F.col("qn"), F.col("cn")))
+                         .alias("pcos")))
     wp = Window.partitionBy("query_id").orderBy(F.col("pcos").desc(),
                                                 F.col("cell").asc())
     probes = (probe_sim.withColumn("prank", F.row_number().over(wp))
               .filter(F.col("prank") <= IVF_NPROBE)
-              .select("query_id", "qv", "cell"))
+              .select("query_id", "qv", "qn", "cell"))
     # exact cosine inside probed cells only
     sims = (probes.join(assigned, "cell")
             .filter(F.col("query_id") != F.col("vec_id"))
             .select("query_id", F.col("vec_id").alias("cand_id"), "cell",
-                    _r6(_cosine(F.col("qv"), F.col("v"))).alias("cos_sim")))
+                    _r6(_cosine(F.col("qv"), F.col("v"),
+                                F.col("qn"), F.col("nrm")))
+                    .alias("cos_sim")))
     wr = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
                                                 F.col("cand_id").asc())
     return (sims.withColumn("rank", F.row_number().over(wr))
@@ -341,12 +361,16 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_operators.py)."""
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    emb = emb.withColumn("nrm", _norm(F.col("v")))   # once per vector
     cand = _dup_candidate_pairs(emb)
-    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                    F.col("nrm").alias("na"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                    F.col("nrm").alias("nb"))
     return (cand.join(va, "vec_a").join(vb, "vec_b")
             .select("vec_a", "vec_b",
-                    _r6(_cosine(F.col("va"), F.col("vb"))).alias("cos_sim"))
+                    _r6(_cosine(F.col("va"), F.col("vb"),
+                                F.col("na"), F.col("nb"))).alias("cos_sim"))
             .filter(F.col("cos_sim") >= DUP_COS_THRESHOLD)
             .orderBy("vec_a", "vec_b"))
 

@@ -28,6 +28,22 @@ def words_col():
     return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
 
 
+def quality_cols(w=None):
+    """Shared quality expressions over a words array: (stop_ratio, ttr,
+    quality_score).  One definition feeds both q_text_stats and the
+    curation pipeline — MIN_QUALITY thresholds are calibrated against
+    THIS formula, so the two must never diverge."""
+    w = words_col() if w is None else w
+    n = F.size(w)
+    sw_list = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    stop_ratio = (F.size(F.filter(w, lambda x: F.array_contains(sw_list, x)))
+                  .cast("double") / n)
+    ttr = F.size(F.array_distinct(w)).cast("double") / n
+    quality = (F.least(n.cast("double") / 100.0, F.lit(1.0)) * 0.4
+               + stop_ratio * 0.3 + ttr * 0.3)
+    return stop_ratio, ttr, quality
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring: whitespace token count, mean word
     length, stopword ratio, type-token ratio, and a composite quality
@@ -35,16 +51,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     w = words_col()
     n = F.size(w)
-    sw_list = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    n_stop = F.size(F.filter(w, lambda x: F.array_contains(sw_list, x)))
     total_chars = F.aggregate(
         w, F.lit(0), lambda acc, x: acc + F.length(x))
     n_distinct = F.size(F.array_distinct(w))
-    stop_ratio = n_stop.cast("double") / n
-    ttr = n_distinct.cast("double") / n
     mean_wl = total_chars.cast("double") / n
-    quality = (F.least(n.cast("double") / 100.0, F.lit(1.0)) * 0.4
-               + stop_ratio * 0.3 + ttr * 0.3)
+    stop_ratio, ttr, quality = quality_cols(w)
     return (docs.select(
         "doc_id",
         n.alias("token_count"),

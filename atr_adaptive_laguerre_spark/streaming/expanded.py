@@ -99,7 +99,11 @@ def make_update43_fn(cfg: FeatureConfig):
             hist = {s: np.empty(0) for s in _SERIES}
             c_bars_in = c_bs_os = c_bs_ob = 0.0
 
-        for pdf in pdf_iter:
+        from atr_adaptive_laguerre_spark.streaming.stateful import (
+            gather_group_chunks,
+        )
+
+        for pdf in gather_group_chunks(pdf_iter):
             pdf = pdf.sort_values("offset", kind="stable")
             offs_all = pdf["offset"].to_numpy(dtype=np.int64)
             keep = offs_all > last_offset

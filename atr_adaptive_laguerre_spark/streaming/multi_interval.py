@@ -70,7 +70,11 @@ def make_update121_fn(cfg: FeatureConfig):
             last_offset, emitted_upto = -1, 0
             h = lo = c = av = np.empty(0)
 
-        for pdf in pdf_iter:
+        from atr_adaptive_laguerre_spark.streaming.stateful import (
+            gather_group_chunks,
+        )
+
+        for pdf in gather_group_chunks(pdf_iter):
             pdf = pdf.sort_values("offset", kind="stable")
             offs_all = pdf["offset"].to_numpy(dtype=np.int64)
             keep = offs_all > last_offset

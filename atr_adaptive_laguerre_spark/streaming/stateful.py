@@ -36,6 +36,24 @@ STATE_SCHEMA = ("prev_close double, seen int, tr_buf array<double>, "
                 "last_offset long")
 
 
+def gather_group_chunks(pdf_iter):
+    """Concatenate ALL of a group's Arrow chunks for this micro-batch
+    before ordering.  Chunk arrival order is not offset-ordered across
+    chunks (a group spanning several input files or >1 Arrow batch can
+    deliver a later chunk with earlier offsets), so per-chunk
+    ``offset > last_offset`` filtering would misclassify out-of-order
+    arrivals as replays and silently drop interior bars.  Returns a
+    one-element list (or empty) so callers keep their loop shape."""
+    import pandas as _pd
+
+    chunks = [p for p in pdf_iter if len(p)]
+    if not chunks:
+        return []
+    if len(chunks) == 1:
+        return [chunks[0]]
+    return [_pd.concat(chunks, ignore_index=True)]
+
+
 def step(state: dict, h: float, lo: float, c: float,
          atr_period: int, adaptive_offset: float) -> tuple:
     """Advance per-entity state by one bar; returns the output tuple.
@@ -149,7 +167,7 @@ def make_update_fn(cfg: FeatureConfig, ttl_ms: int | None = None):
                   "l0": 0.0, "l1": 0.0, "l2": 0.0, "l3": 0.0}
             last_offset = -1
 
-        for pdf in pdf_iter:
+        for pdf in gather_group_chunks(pdf_iter):
             pdf = pdf.sort_values("offset", kind="stable")
             offs_all = pdf["offset"].to_numpy(dtype=np.int64)
             # idempotent replay guard: drop already-seen offsets and
@@ -300,7 +318,7 @@ def stream_rsi_tws(spark, input_dir: str, output_dir: str,
                       "l0": 0.0, "l1": 0.0, "l2": 0.0, "l3": 0.0}
                 last_offset = -1
 
-            for pdf in rows:
+            for pdf in gather_group_chunks(rows):
                 pdf = pdf.sort_values("offset", kind="stable")
                 offs_all = pdf["offset"].to_numpy(dtype=np.int64)
                 keep = offs_all > last_offset

@@ -569,3 +569,42 @@ def test_stream_121_short_entity_emits_nothing_then_catches_up(spark,
     b = want["mean_rsi_across_intervals"][:exp_hi]
     ok = (a == b) | (np.isnan(a) & np.isnan(b))
     assert ok.all()
+
+
+def test_out_of_order_chunks_within_microbatch():
+    """Regression: a group's micro-batch can arrive as several Arrow
+    chunks whose ORDER is not offset-ordered (multiple files, >1 Arrow
+    batch). Per-chunk `offset > last_offset` filtering would drop the
+    later-arriving earlier offsets as replays; the gather-first fix must
+    process all 100 bars and stay bit-exact, including a replayed
+    overlap chunk."""
+    from atr_adaptive_laguerre_spark.streaming.stateful import (
+        make_update_fn,
+    )
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, tup):
+            self.saved = tup
+
+    toks = make_tokens(5, 100)
+    h, l, c = tokens_to_ohlcv(toks)
+
+    def chunk(lo, hi):
+        return pd.DataFrame({
+            "source": "s0", "doc_id": "d0",
+            "offset": np.arange(lo, hi, dtype=np.int64),
+            "high": h[lo:hi], "low": l[lo:hi], "close": c[lo:hi]})
+
+    # later offsets arrive FIRST, plus a duplicate overlap chunk
+    fn = make_update_fn(CFG)
+    outs = list(fn(("s0", "d0"),
+                   iter([chunk(50, 100), chunk(0, 50), chunk(40, 60)]),
+                   FakeState()))
+    got = (pd.concat(outs).sort_values("offset").reset_index(drop=True))
+    assert got["offset"].tolist() == list(range(100))
+    want = core_loop(h, l, c, CFG.atr_period, CFG.adaptive_offset)
+    np.testing.assert_array_equal(got["rsi"].to_numpy(), want["rsi"])
+    np.testing.assert_array_equal(got["atr"].to_numpy(), want["atr"])
