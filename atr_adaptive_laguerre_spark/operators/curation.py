@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from atr_adaptive_laguerre_spark.operators.text import (
-    _r6, _sw_sql, quality_cols, words_col,
+    _r6, _sw_sql, quality_cols, quality_sql, words_col,
 )
 
 MIN_TOKENS = 20
@@ -71,11 +71,7 @@ WITH w AS (
 ), scored AS (
   SELECT doc_id, source,
          length(words) AS token_count,
-         (LEAST(length(words)::DOUBLE / 100.0, 1.0) * 0.4
-          + (length(list_filter(words,
-              x -> list_contains({_sw_sql()}, x)))::DOUBLE
-             / length(words)) * 0.3
-          + (length(list_distinct(words))::DOUBLE / length(words)) * 0.3)
+         {quality_sql()}
            AS quality_score,
          CASE WHEN has_cjk THEN 'cjk'
               WHEN length(list_filter(words,

@@ -71,6 +71,19 @@ def _sw_sql() -> str:
     return "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
 
 
+def quality_sql() -> str:
+    """DuckDB twin of :func:`quality_cols`'s quality score over a
+    ``words`` list column — the ONE definition both the text_stats and
+    corpus_curation oracles embed (mirrors the Spark expression
+    term-for-term so cross-engine comparisons stay bit-stable)."""
+    return (f"(LEAST(length(words)::DOUBLE / 100.0, 1.0) * 0.4 "
+            f"+ (length(list_filter(words, "
+            f"x -> list_contains({_sw_sql()}, x)))::DOUBLE "
+            f"/ length(words)) * 0.3 "
+            f"+ (length(list_distinct(words))::DOUBLE / length(words)) "
+            f"* 0.3)")
+
+
 ORACLE_TEXT_STATS = f"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
@@ -86,11 +99,7 @@ SELECT doc_id,
               / length(words)) * 1000000 + 0.5) / 1000000 AS stopword_ratio,
        FLOOR((length(list_distinct(words))::DOUBLE / length(words))
              * 1000000 + 0.5) / 1000000 AS type_token_ratio,
-       FLOOR((LEAST(length(words)::DOUBLE / 100.0, 1.0) * 0.4
-              + (length(list_filter(words,
-                  x -> list_contains({_sw_sql()}, x)))::DOUBLE
-                 / length(words)) * 0.3
-              + (length(list_distinct(words))::DOUBLE / length(words)) * 0.3)
+       FLOOR({quality_sql()}
              * 1000000 + 0.5) / 1000000 AS quality_score
 FROM w
 ORDER BY doc_id
