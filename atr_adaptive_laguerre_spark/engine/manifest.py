@@ -16,6 +16,12 @@ appended with lineage + metrics:
     input_fingerprint (order-independent xor-fold of doc content hashes),
     wall_sec, finished_at
 
+``n_rows`` is the CONTRACTED output row count — one row per token, the
+grain features_long guarantees and the token-roundtrip tests pin — not
+a re-count of the written files (which would cost a second scan per
+wave).  If a future output variant changes the row grain, this field's
+derivation must change with it.
+
 Resume = anti-join against the manifest's completed buckets: a re-run
 after an interruption skips finished waves and completes the rest.  The
 input fingerprint lets an auditor verify that a bucket's input was
@@ -28,7 +34,6 @@ directory, so failure costs at most one wave of work.
 
 from __future__ import annotations
 
-import os
 import time
 import uuid
 
@@ -50,8 +55,10 @@ def bucket_col(n_buckets: int):
 
 def completed_buckets(spark: SparkSession, manifest_dir: str,
                       run_id: str) -> set[int]:
-    if not os.path.exists(manifest_dir):
-        return set()
+    # no local-filesystem existence check: the manifest may live on any
+    # Hadoop-compatible store (s3a://, hdfs://) where os.path.exists is
+    # always False and would silently disable resume — the read itself
+    # is the existence probe
     try:
         m = spark.read.parquet(manifest_dir)
     except Exception:

@@ -285,6 +285,14 @@ def validate_non_anticipative(feature_fn, doc_df: DataFrame,
             f"min_subset_ratio must be in (0, 1], got {min_subset_ratio}")
 
     sep = "#p"          # doc_id suffix marking a prefix variant
+    # the suffix must be recoverable: a doc_id already containing the
+    # separator would be truncated by substring_index and its rows
+    # silently dropped from the comparison join (a false PASS)
+    n_clash = doc_df.filter(F.col("doc_id").contains(sep)).limit(1).count()
+    if n_clash:
+        raise ValueError(
+            f"doc_id values containing {sep!r} are not supported by the "
+            f"prefix-variant encoding; rename them first")
     variants = None
     for k in range(n_tests):
         frac = (min_subset_ratio

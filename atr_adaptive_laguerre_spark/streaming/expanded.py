@@ -60,12 +60,6 @@ STATE43_SCHEMA = (
     + ", c_bars_in double, c_bs_os double, c_bs_ob double")
 
 
-def _core_state(tup, p: int):
-    (prev_close, seen, tr_buf, buf_head, buf_len, tr_sum,
-     l0, l1, l2, l3) = tup[:10]
-    return {"prev_close": prev_close, "seen": seen, "tr_buf": list(tr_buf),
-            "buf_head": buf_head, "buf_len": buf_len, "tr_sum": tr_sum,
-            "l0": l0, "l1": l1, "l2": l2, "l3": l3}
 
 
 def make_update43_fn(cfg: FeatureConfig):
@@ -82,35 +76,28 @@ def make_update43_fn(cfg: FeatureConfig):
 
     def fn(key, pdf_iter, state):
         source, doc_id = key
+        from atr_adaptive_laguerre_spark.streaming.stateful import (
+            filter_new_bars, gather_group_chunks, new_core_state,
+            unpack_core_state,
+        )
+
         if state.exists:
             tup = state.get
-            st = _core_state(tup, p)
+            st = unpack_core_state(tup, p)
             last_offset = tup[10]
             vel = tup[11]
             hist = {s: np.asarray(tup[12 + i], dtype=np.float64)
                     for i, s in enumerate(_SERIES)}
             c_bars_in, c_bs_os, c_bs_ob = tup[22], tup[23], tup[24]
         else:
-            st = {"prev_close": 0.0, "seen": 0, "tr_buf": [0.0] * p,
-                  "buf_head": 0, "buf_len": 0, "tr_sum": 0.0,
-                  "l0": 0.0, "l1": 0.0, "l2": 0.0, "l3": 0.0}
+            st = new_core_state(p)
             last_offset = -1
             vel = 0.0
             hist = {s: np.empty(0) for s in _SERIES}
             c_bars_in = c_bs_os = c_bs_ob = 0.0
 
-        from atr_adaptive_laguerre_spark.streaming.stateful import (
-            gather_group_chunks,
-        )
-
         for pdf in gather_group_chunks(pdf_iter):
-            pdf = pdf.sort_values("offset", kind="stable")
-            offs_all = pdf["offset"].to_numpy(dtype=np.int64)
-            keep = offs_all > last_offset
-            if len(offs_all) > 1:
-                keep[1:] &= offs_all[1:] > offs_all[:-1]
-            if not keep.all():
-                pdf = pdf[keep]
+            pdf = filter_new_bars(pdf, last_offset)
             if len(pdf) == 0:
                 continue
             offs = pdf["offset"].to_numpy(dtype=np.int64)
@@ -125,9 +112,13 @@ def make_update43_fn(cfg: FeatureConfig):
             h = len(hist["rsi"])
             slab = {s: np.concatenate([hist[s], core[s]])[None, :]
                     for s in _SERIES}
-            feats = expand_batched(
-                {**{k: slab[k] for k in _SERIES}}, cfg)
-            out = {c: feats[c][0, h:].copy() for c in FEATURE_COLUMNS}
+            feats = expand_batched(slab, cfg)
+            overridden = {"rsi_velocity", "bars_in_regime",
+                          "bars_since_oversold", "bars_since_overbought",
+                          "bars_since_extreme",
+                          "extreme_regime_persistence", "tail_risk_score"}
+            out = {c: feats[c][0, h:].copy() for c in FEATURE_COLUMNS
+                   if c not in overridden}
 
             rsi_all = slab["rsi"][0]
 
@@ -164,12 +155,22 @@ def make_update43_fn(cfg: FeatureConfig):
             out["bars_in_regime"] = bars_in[h:]
 
             def bars_since(event, carried):
-                cum_not = np.cumsum(~event).astype(np.float64)
-                reset = np.maximum.accumulate(cum_not * event)
-                loc = cum_not - reset
-                no_event = reset == 0.0
+                # last-event-index formulation: an event AT slab position
+                # 0 must anchor the count (idx - 0), not fall into the
+                # carried-correction branch — the cum_not*event reset
+                # trick can't distinguish "event at 0" (reset==0 because
+                # cum_not[0]==0) from "no event at all", which made
+                # counts drift by 1 when the only event in the window
+                # sat exactly HIST bars back.  For a full slab (h==0)
+                # this is algebraically identical to the batch
+                # _bars_since (idx - last_event == cum_not - reset after
+                # the last event; idx + 1 == cum_not before any event).
+                idx2 = np.arange(h + n, dtype=np.float64)
+                lei = np.maximum.accumulate(np.where(event, idx2, -1.0))
+                seen_event = lei >= 0.0
+                loc = np.where(seen_event, idx2 - lei, idx2 + 1.0)
                 corr2 = carried - h if h else 0.0
-                return np.where(no_event, loc + corr2, loc)
+                return np.where(seen_event, loc, loc + corr2)
 
             is_os = rsi_all < down
             is_ob = rsi_all > up

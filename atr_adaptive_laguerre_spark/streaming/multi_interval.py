@@ -71,19 +71,22 @@ def make_update121_fn(cfg: FeatureConfig):
             h = lo = c = av = np.empty(0)
 
         from atr_adaptive_laguerre_spark.streaming.stateful import (
-            gather_group_chunks,
+            filter_new_bars, gather_group_chunks,
         )
 
         for pdf in gather_group_chunks(pdf_iter):
-            pdf = pdf.sort_values("offset", kind="stable")
-            offs_all = pdf["offset"].to_numpy(dtype=np.int64)
-            keep = offs_all > last_offset
-            if len(offs_all) > 1:
-                keep[1:] &= offs_all[1:] > offs_all[:-1]
-            if not keep.all():
-                pdf = pdf[keep]
+            pdf = filter_new_bars(pdf, last_offset)
             if len(pdf) == 0:
                 continue
+            offs = pdf["offset"].to_numpy(dtype=np.int64)
+            # the positional resample makes gapless offsets load-bearing
+            # (history position == offset); fail loud on a gap rather
+            # than emit silently misaligned windows
+            if offs[0] != last_offset + 1 or \
+                    (len(offs) > 1 and (np.diff(offs) != 1).any()):
+                raise ValueError(
+                    f"offset gap for entity {doc_id!r}: got "
+                    f"{offs[0]}..{offs[-1]} after {last_offset}")
             h = np.concatenate([h, pdf["high"].to_numpy(dtype=np.float64)])
             lo = np.concatenate([lo, pdf["low"].to_numpy(dtype=np.float64)])
             c = np.concatenate([c, pdf["close"].to_numpy(dtype=np.float64)])

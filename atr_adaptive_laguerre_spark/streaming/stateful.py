@@ -36,6 +36,43 @@ STATE_SCHEMA = ("prev_close double, seen int, tr_buf array<double>, "
                 "last_offset long")
 
 
+def filter_new_bars(pdf, last_offset: int):
+    """Chronological replay guard shared by every stateful update fn:
+    sort by offset (stable — first arrival wins among duplicates), drop
+    offsets already processed and within-batch duplicates."""
+    pdf = pdf.sort_values("offset", kind="stable")
+    offs_all = pdf["offset"].to_numpy(dtype=np.int64)
+    keep = offs_all > last_offset
+    if len(offs_all) > 1:
+        keep[1:] &= offs_all[1:] > offs_all[:-1]
+    if not keep.all():
+        pdf = pdf[keep]
+    return pdf
+
+
+def new_core_state(p: int) -> dict:
+    """Fresh per-entity core recurrence state (shared by all stateful
+    surfaces — one definition of the zero-state)."""
+    return {"prev_close": 0.0, "seen": 0, "tr_buf": [0.0] * p,
+            "buf_head": 0, "buf_len": 0, "tr_sum": 0.0,
+            "l0": 0.0, "l1": 0.0, "l2": 0.0, "l3": 0.0}
+
+
+def unpack_core_state(tup, p: int) -> dict:
+    """Restore the 10 core fields from a checkpointed state tuple; the
+    ring-buffer length must match the config's atr_period (a mismatched
+    cfg would silently corrupt the recurrence)."""
+    (prev_close, seen, tr_buf, buf_head, buf_len, tr_sum,
+     l0, l1, l2, l3) = tup[:10]
+    if len(tr_buf) != p:
+        raise ValueError(
+            f"checkpointed tr_buf has length {len(tr_buf)} but config "
+            f"atr_period={p}; state was written by a different config")
+    return {"prev_close": prev_close, "seen": seen, "tr_buf": list(tr_buf),
+            "buf_head": buf_head, "buf_len": buf_len, "tr_sum": tr_sum,
+            "l0": l0, "l1": l1, "l2": l2, "l3": l3}
+
+
 def gather_group_chunks(pdf_iter):
     """Concatenate ALL of a group's Arrow chunks for this micro-batch
     before ordering.  Chunk arrival order is not offset-ordered across
@@ -155,28 +192,15 @@ def make_update_fn(cfg: FeatureConfig, ttl_ms: int | None = None):
             state.remove()          # S3 eviction: idle entity forgotten
             return
         if state.exists:
-            (prev_close, seen, tr_buf, buf_head, buf_len, tr_sum,
-             l0, l1, l2, l3, last_offset) = state.get
-            st = {"prev_close": prev_close, "seen": seen,
-                  "tr_buf": list(tr_buf), "buf_head": buf_head,
-                  "buf_len": buf_len, "tr_sum": tr_sum,
-                  "l0": l0, "l1": l1, "l2": l2, "l3": l3}
+            tup = state.get
+            st = unpack_core_state(tup, p)
+            last_offset = tup[10]
         else:
-            st = {"prev_close": 0.0, "seen": 0, "tr_buf": [0.0] * p,
-                  "buf_head": 0, "buf_len": 0, "tr_sum": 0.0,
-                  "l0": 0.0, "l1": 0.0, "l2": 0.0, "l3": 0.0}
+            st = new_core_state(p)
             last_offset = -1
 
         for pdf in gather_group_chunks(pdf_iter):
-            pdf = pdf.sort_values("offset", kind="stable")
-            offs_all = pdf["offset"].to_numpy(dtype=np.int64)
-            # idempotent replay guard: drop already-seen offsets and
-            # within-batch duplicates (keep first occurrence)
-            keep = offs_all > last_offset
-            if len(offs_all) > 1:
-                keep[1:] &= offs_all[1:] > offs_all[:-1]
-            if not keep.all():
-                pdf = pdf[keep]
+            pdf = filter_new_bars(pdf, last_offset)
             if len(pdf) == 0:
                 continue
             offs = pdf["offset"].to_numpy(dtype=np.int64)
@@ -306,26 +330,15 @@ def stream_rsi_tws(spark, input_dir: str, output_dir: str,
 
             source, doc_id = key
             if self._state.exists():
-                (prev_close, seen, tr_buf, buf_head, buf_len, tr_sum,
-                 l0, l1, l2, l3, last_offset) = self._state.get()
-                st = {"prev_close": prev_close, "seen": seen,
-                      "tr_buf": list(tr_buf), "buf_head": buf_head,
-                      "buf_len": buf_len, "tr_sum": tr_sum,
-                      "l0": l0, "l1": l1, "l2": l2, "l3": l3}
+                tup = self._state.get()
+                st = unpack_core_state(tup, p)
+                last_offset = tup[10]
             else:
-                st = {"prev_close": 0.0, "seen": 0, "tr_buf": [0.0] * p,
-                      "buf_head": 0, "buf_len": 0, "tr_sum": 0.0,
-                      "l0": 0.0, "l1": 0.0, "l2": 0.0, "l3": 0.0}
+                st = new_core_state(p)
                 last_offset = -1
 
             for pdf in gather_group_chunks(rows):
-                pdf = pdf.sort_values("offset", kind="stable")
-                offs_all = pdf["offset"].to_numpy(dtype=np.int64)
-                keep = offs_all > last_offset
-                if len(offs_all) > 1:
-                    keep[1:] &= offs_all[1:] > offs_all[:-1]
-                if not keep.all():
-                    pdf = pdf[keep]
+                pdf = filter_new_bars(pdf, last_offset)
                 if len(pdf) == 0:
                     continue
                 offs = pdf["offset"].to_numpy(dtype=np.int64)
@@ -348,12 +361,15 @@ def stream_rsi_tws(spark, input_dir: str, output_dir: str,
             pass
 
     sdf = spark.readStream.schema(INPUT_SCHEMA).parquet(input_dir)
+    # state TTL requires a running time mode — "None" + ttlDurationMs is
+    # rejected by the state store at query start
+    time_mode = "ProcessingTime" if ttl_ms is not None else "None"
     out = (sdf.groupBy("source", "doc_id")
            .transformWithStateInPandas(
                statefulProcessor=RSIProcessor(),
                outputStructType=OUTPUT_SCHEMA,
                outputMode="Append",
-               timeMode="None"))
+               timeMode=time_mode))
     q = (out.writeStream.format("parquet")
          .option("path", output_dir)
          .option("checkpointLocation", checkpoint_dir)

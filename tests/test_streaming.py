@@ -608,3 +608,74 @@ def test_out_of_order_chunks_within_microbatch():
     want = core_loop(h, l, c, CFG.atr_period, CFG.adaptive_offset)
     np.testing.assert_array_equal(got["rsi"].to_numpy(), want["rsi"])
     np.testing.assert_array_equal(got["atr"].to_numpy(), want["atr"])
+
+
+def test_bars_since_event_exactly_hist_bars_back():
+    """Regression: when the ONLY oversold bar in a micro-batch's
+    (hist + new) slab sits exactly at slab position 0 (the event is
+    precisely HIST bars before the batch boundary), the old
+    cum_not*event reset trick couldn't distinguish it from 'no event'
+    and drifted bars_since_* by 1. Craft a series whose last oversold
+    bar is at 41, split at 41 + HIST = 159, and require bit-exact batch
+    parity for every column of the second micro-batch."""
+    from atr_adaptive_laguerre_spark.kernel.batched import core_loop_batched
+    from atr_adaptive_laguerre_spark.kernel.expander_batched import (
+        expand_batched,
+    )
+    from atr_adaptive_laguerre_spark.kernel.expander_ref import (
+        FEATURE_COLUMNS,
+    )
+    from atr_adaptive_laguerre_spark.streaming.expanded import (
+        HIST, make_update43_fn,
+    )
+
+    n = 220
+    c = np.empty(n)
+    c[0] = 100.0
+    for i in range(1, n):
+        if i <= 36:
+            c[i] = c[i - 1] - 1.0 - 0.1 * np.sin(i)
+        else:
+            c[i] = c[i - 1] + 0.35 + 0.3 * np.sin(i * 0.7)
+    h, l = c + 0.5, c - 0.5
+
+    core = core_loop_batched(h[None, :], l[None, :], c[None, :],
+                             CFG.atr_period, CFG.adaptive_offset)
+    rsi = core["rsi"][0]
+    os_idx = np.where(rsi < CFG.level_down)[0]
+    assert len(os_idx) and os_idx[-1] == 41, os_idx  # series shape pin
+    split = 41 + HIST      # = 159: slab pos 0 of batch 2 IS the event
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+        saved = None
+
+        def update(self, tup):
+            self.saved = tup
+
+        @property
+        def get(self):
+            return self.saved
+
+    def chunk(lo, hi):
+        return pd.DataFrame({
+            "source": "s0", "doc_id": "d0",
+            "offset": np.arange(lo, hi, dtype=np.int64),
+            "high": h[lo:hi], "low": l[lo:hi], "close": c[lo:hi]})
+
+    fn = make_update43_fn(CFG)
+    st = FakeState()
+    out1 = list(fn(("s0", "d0"), iter([chunk(0, split)]), st))
+    st.exists = True
+    out2 = list(fn(("s0", "d0"), iter([chunk(split, n)]), st))
+    got = (pd.concat(out1 + out2).sort_values("offset")
+           .reset_index(drop=True))
+
+    core["close"] = c[None, :]
+    want = expand_batched(core, CFG)
+    for col in FEATURE_COLUMNS:
+        a = got[col].to_numpy()
+        b = want[col][0]
+        ok = (a == b) | (np.isnan(a) & np.isnan(b))
+        assert ok.all(), (col, np.where(~ok)[0][:5])
