@@ -59,8 +59,15 @@ CORE_DOC_SCHEMA = (
 def _length_chunks(lengths: np.ndarray, cell_budget: int) -> Iterator[np.ndarray]:
     """Yield index chunks, sorted by length (padding-efficient), where each
     chunk's padded size len(chunk) * max_len stays under the budget and the
-    in-chunk length spread stays tight (padding efficiency >= ~0.75)."""
+    in-chunk length spread stays tight (padding efficiency >= ~0.75).
+
+    Zero-length sequences are skipped entirely — an empty doc has no
+    feature rows in long form by definition, and letting one into a
+    chunk can produce a (B, 0) matrix that the kernel cannot index
+    (tested: empty docs crash without this filter).  Every kernel entry
+    point chunks through here, so this is the single choke point."""
     order = np.argsort(lengths, kind="stable")
+    order = order[lengths[order] > 0]
     start = 0
     while start < len(order):
         max_len = 0
@@ -76,6 +83,27 @@ def _length_chunks(lengths: np.ndarray, cell_budget: int) -> Iterator[np.ndarray
             end += 1
         yield order[start:end]
         start = end
+
+
+def _chunk_feature_cols(mat, lens, cfg: FeatureConfig, pool=None):
+    """OHLCV derivation + kernel dispatch for one padded chunk — the ONE
+    definition every chunked path (pandas, mapInArrow long/doc/checksum)
+    shares, so availability gating and kernel dispatch cannot drift
+    between them."""
+    from atr_adaptive_laguerre_spark.data.corpus import (
+        tokens_to_availability_batched,
+    )
+    from atr_adaptive_laguerre_spark.kernel.multi_interval_batched import (
+        multi_interval_long, single_interval_long,
+    )
+
+    high, low, close = tokens_to_ohlcv_batched(mat)
+    if cfg.is_multi_interval:
+        avail = (tokens_to_availability_batched(mat)
+                 if cfg.availability else None)
+        return multi_interval_long(high, low, close, lens, cfg,
+                                   avail=avail, pool=pool)
+    return single_interval_long(high, low, close, lens, cfg, pool=pool)
 
 
 def _kernel_on_docs(pdf: pd.DataFrame, cfg: FeatureConfig,
@@ -216,30 +244,15 @@ def _features_on_docs(pdf: pd.DataFrame, cfg: FeatureConfig,
                       cell_budget: int = CELL_BUDGET,
                       ) -> Iterator[pd.DataFrame]:
     """Full feature pipeline (43 or 169/121 cols) over a doc batch."""
-    from atr_adaptive_laguerre_spark.kernel.multi_interval_batched import (
-        multi_interval_long, single_interval_long,
-    )
-
     if len(pdf) == 0:
         return
     toks = [np.asarray(t, dtype=np.int32) for t in pdf["tokens"]]
     lengths = np.fromiter((len(t) for t in toks), dtype=np.int64,
                           count=len(toks))
-    from atr_adaptive_laguerre_spark.data.corpus import (
-        tokens_to_availability_batched,
-    )
-
     for idx in _length_chunks(lengths, cell_budget):
         chunk_toks = [toks[i] for i in idx]
         mat, lens = pad_sequences(chunk_toks, dtype=np.int64)
-        high, low, close = tokens_to_ohlcv_batched(mat)
-        if cfg.is_multi_interval:
-            avail = (tokens_to_availability_batched(mat)
-                     if cfg.availability else None)
-            cols = multi_interval_long(high, low, close, lens, cfg,
-                                       avail=avail)
-        else:
-            cols = single_interval_long(high, low, close, lens, cfg)
+        cols = _chunk_feature_cols(mat, lens, cfg)
         src = pdf["source"].to_numpy()[idx]
         did = pdf["doc_id"].to_numpy()[idx]
         offsets = np.concatenate(
@@ -342,13 +355,6 @@ def features_long(doc_df: DataFrame, cfg: FeatureConfig | None = None,
     def run(batches):
         import pyarrow.compute as pc
 
-        from atr_adaptive_laguerre_spark.kernel.multi_interval_batched import (
-            multi_interval_long, single_interval_long,
-        )
-
-        from atr_adaptive_laguerre_spark.data.corpus import (
-            tokens_to_availability_batched,
-        )
         from atr_adaptive_laguerre_spark.kernel.batched import get_out_pool
 
         pool = get_out_pool()
@@ -357,15 +363,7 @@ def features_long(doc_df: DataFrame, cfg: FeatureConfig | None = None,
             did_col = rb.column(rb.schema.get_field_index("doc_id"))
             for idx, chunk_flat, lens, mat, _fe in _arrow_doc_chunks(
                     rb, cell_budget):
-                high, low, close = tokens_to_ohlcv_batched(mat)
-                if cfg.is_multi_interval:
-                    avail = (tokens_to_availability_batched(mat)
-                             if cfg.availability else None)
-                    cols = multi_interval_long(high, low, close, lens, cfg,
-                                               avail=avail, pool=pool)
-                else:
-                    cols = single_interval_long(high, low, close, lens, cfg,
-                                                pool=pool)
+                cols = _chunk_feature_cols(mat, lens, cfg, pool=pool)
                 rep = pa.array(np.repeat(idx.astype(np.int64), lens))
                 offsets = np.concatenate(
                     [np.arange(n, dtype=np.int32) for n in lens])
@@ -422,28 +420,14 @@ def features_doc(doc_df: DataFrame, cfg: FeatureConfig | None = None,
     def run(batches):
         import pyarrow.compute as pc
 
-        from atr_adaptive_laguerre_spark.data.corpus import (
-            tokens_to_availability_batched,
-        )
         from atr_adaptive_laguerre_spark.kernel.batched import get_out_pool
-        from atr_adaptive_laguerre_spark.kernel.multi_interval_batched import (
-            multi_interval_long, single_interval_long,
-        )
 
         pool = get_out_pool()
         for rb in batches:
             src_col = rb.column(rb.schema.get_field_index("source"))
             did_col = rb.column(rb.schema.get_field_index("doc_id"))
             for idx, chunk_flat, lens, mat, _fe in _arrow_doc_chunks(rb):
-                high, low, close = tokens_to_ohlcv_batched(mat)
-                if cfg.is_multi_interval:
-                    avail = (tokens_to_availability_batched(mat)
-                             if cfg.availability else None)
-                    cols = multi_interval_long(high, low, close, lens, cfg,
-                                               avail=avail, pool=pool)
-                else:
-                    cols = single_interval_long(high, low, close, lens, cfg,
-                                                pool=pool)
+                cols = _chunk_feature_cols(mat, lens, cfg, pool=pool)
                 offs = np.zeros(len(lens) + 1, dtype=np.int32)
                 np.cumsum(lens, out=offs[1:])
                 pa_offs = pa.array(offs)
@@ -494,26 +478,12 @@ def features_checksum(doc_df: DataFrame, cfg: FeatureConfig | None = None,
               ", ".join(f"{c}_sum double" for c in feat_cols))
 
     def run(batches):
-        from atr_adaptive_laguerre_spark.data.corpus import (
-            tokens_to_availability_batched,
-        )
         from atr_adaptive_laguerre_spark.kernel.batched import get_out_pool
-        from atr_adaptive_laguerre_spark.kernel.multi_interval_batched import (
-            multi_interval_long, single_interval_long,
-        )
 
         pool = get_out_pool()
         for rb in batches:
             for idx, chunk_flat, lens, mat, _fe in _arrow_doc_chunks(rb):
-                high, low, close = tokens_to_ohlcv_batched(mat)
-                if cfg.is_multi_interval:
-                    avail = (tokens_to_availability_batched(mat)
-                             if cfg.availability else None)
-                    cols = multi_interval_long(high, low, close, lens, cfg,
-                                               avail=avail, pool=pool)
-                else:
-                    cols = single_interval_long(high, low, close, lens, cfg,
-                                                pool=pool)
+                cols = _chunk_feature_cols(mat, lens, cfg, pool=pool)
                 n_nan = sum(int(np.isnan(cols[c]).sum())
                             for c in feat_cols)
                 arrays = [pa.array([int(lens.sum())], pa.int64()),
@@ -558,7 +528,8 @@ def core_features_from_long_sorted(long_df: DataFrame,
         ek = chunk["_ekey"].to_numpy()
         bounds = np.flatnonzero(np.concatenate(([True], ek[1:] != ek[:-1])))
         bounds = np.append(bounds, len(ek))
-        toks = [chunk["token"].to_numpy(dtype=np.int32)[bounds[i]:bounds[i + 1]]
+        tok_all = chunk["token"].to_numpy(dtype=np.int32)  # ONE conversion
+        toks = [tok_all[bounds[i]:bounds[i + 1]]
                 for i in range(len(bounds) - 1)]
         sub = chunk.iloc[bounds[:-1]]
         pdf = pd.DataFrame({

@@ -289,7 +289,7 @@ def expand_batched(core: dict[str, np.ndarray],
     out["adaptive_coeff"] = coeff
     out["adaptive_coeff_roc_1"] = coeff - _shift1(coeff, V("xp_pc"))
     out["gamma_value"] = gamma
-    ng = _window_counts(t, sw)
+    ng = n20          # same (t, sw) counts — one definition
     gmean = _rolling_mean(gamma, sw, V("xp_gmean"), ng)
     out["gamma_spread"] = gamma - gmean
 

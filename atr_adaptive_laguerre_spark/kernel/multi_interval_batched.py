@@ -116,12 +116,6 @@ def _align_gather_idx(lengths: np.ndarray, lengths_m: np.ndarray,
     return doc * tm + src, lm == 0
 
 
-def _shift1_2d(x, out, ws=None):
-    out[:, 1:] = x[:, :-1]
-    out[:, 0] = x[:, 0]
-    return out
-
-
 def _rolling_sum_shift1(x, w, out):
     """rolling(w, min_periods=1).sum().shift(1).fillna(0) — the
     "recent events, excluding now" pattern (cross_interval.py:318,376)."""

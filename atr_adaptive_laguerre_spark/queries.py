@@ -324,9 +324,7 @@ def q_true_range_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev2.select(
         "event_id", "user_id",
         _r6(F.col("tr")).alias("true_range"),
-        _r6(F.avg("tr").over(
-            Window.partitionBy("user_id").orderBy("ts", "event_id")
-            .rowsBetween(-13, 0))).alias("atr_14"))
+        _r6(F.avg("tr").over(watr)).alias("atr_14"))
         .orderBy("event_id"))
 
 

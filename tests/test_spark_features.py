@@ -232,3 +232,26 @@ def test_features_doc_column_projection(spark, doc_df):
         y = np.asarray(b.loc[i, "rsi_change_1_base"])
         ok = (x == y) | (np.isnan(x) & np.isnan(y))
         assert ok.all(), i
+
+
+def test_empty_token_docs_are_skipped(spark):
+    """Zero-length sequences produce no feature rows and must not crash
+    the chunker (a (B, 0) padded matrix would be unindexable); mixing
+    many empty docs with real ones leaves the real rows bit-intact."""
+    import pandas as pd
+
+    rows = [("s0", f"e{i}", [], 0) for i in range(40)]
+    rows += [("s0", f"r{i}", list(range(1, 60 + i)), 59 + i)
+             for i in range(3)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "doc_id", "tokens", "n_tok"]))
+    out = features_long(df, CFG43).toPandas()
+    assert len(out) == sum(59 + i for i in range(3))
+    assert set(out["doc_id"]) == {"r0", "r1", "r2"}
+
+    from atr_adaptive_laguerre_spark.engine.features_job import (
+        core_features_long,
+    )
+
+    core = core_features_long(df, FeatureConfig(atr_period=14)).toPandas()
+    assert len(core) == sum(59 + i for i in range(3))
