@@ -52,15 +52,19 @@ _SESSIONS_UTC = {
 }
 
 
-def to_lowercase_ohlcv(df: DataFrame) -> DataFrame:
+def to_lowercase_ohlcv(df: DataFrame,
+                       required: tuple[str, ...] = REQUIRED_COLUMNS
+                       ) -> DataFrame:
     """backtesting.py column adapter: rename Title-case OHLCV columns and
     validate the required set exists (raises like the reference,
-    ``backtesting_adapter.py:49-88``)."""
+    ``backtesting_adapter.py:49-88``).  ``required`` lets callers that
+    need only a subset (e.g. the indicator needs no volume) still get
+    the driver-side ValueError instead of an executor KeyError."""
     out = df
     for src, dst in COLUMN_MAPPING.items():
         if src in out.columns:
             out = out.withColumnRenamed(src, dst)
-    missing = set(REQUIRED_COLUMNS) - set(out.columns)
+    missing = set(required) - set(out.columns)
     if missing:
         raise ValueError(
             f"Data missing required columns: {sorted(missing)}. "
@@ -78,7 +82,10 @@ def compute_indicator(bars: DataFrame, cfg: FeatureConfig | None = None,
     import pandas as pd
 
     cfg = cfg or FeatureConfig()
-    lower = bars if "close" in bars.columns else to_lowercase_ohlcv(bars)
+    # ALWAYS map + validate: gating on 'close' alone let a frame with
+    # close but Title-case High/Low reach the executor and die with an
+    # opaque KeyError instead of the adapter's ValueError
+    lower = to_lowercase_ohlcv(bars, required=("high", "low", "close"))
     key = list(entity_cols)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -135,14 +142,17 @@ def extract_session_features(phase7: DataFrame) -> DataFrame:
         raise ValueError(
             f"Missing Phase7 session columns: {missing}. "
             f"Available columns: {list(phase7.columns)}")
-    sel = phase7.select(*SESSION_FEATURES)
-    bad = sel.filter(" OR ".join(
+    bad = phase7.filter(" OR ".join(
         f"({c} IS NULL OR {c} NOT IN (0, 1))" for c in SESSION_FEATURES))
     n_bad = bad.limit(1).count()
     if n_bad:
         raise ValueError(
             "session flags must be binary {0, 1}; found invalid rows")
-    return sel
+    # keep the row keys: the flags are joined back onto the feature
+    # matrix (combine_with_features) — a flags-only projection would
+    # make that join impossible
+    keys = [c for c in phase7.columns if c not in SESSION_FEATURES]
+    return phase7.select(*keys, *SESSION_FEATURES)
 
 
 def with_session_flags(events: DataFrame, ts_col: str = "ts") -> DataFrame:

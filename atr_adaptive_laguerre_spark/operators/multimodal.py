@@ -151,8 +151,13 @@ def byte_features(media: np.ndarray) -> dict[str, np.ndarray]:
 
 def media_features(media_df: DataFrame) -> DataFrame:
     """mapInPandas featurizer over the binary column — the real batch
-    shape a decode UDF would use (Arrow binary arrays in, doubles out)."""
+    shape a decode UDF would use (Arrow binary arrays in, doubles out).
+    Projects to the two columns the featurizer reads before crossing the
+    Arrow boundary (the metadata struct would otherwise be serialized
+    per row only to be ignored)."""
     import pandas as pd
+
+    media_df = media_df.select("doc_id", "media")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -37,14 +37,14 @@ def q_atr_adaptive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a windowed collect_list, newest first), adaptive coefficient and
     gamma.  The Arrow kernel computes the same quantities sequentially;
     here Catalyst does it relationally."""
-    ev = _t = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     high = F.col("value") * 1.01
     low = F.col("value") * 0.99
     prev_c = F.lag("value").over(w)
     tr = F.when(prev_c.isNull(), high - low).otherwise(
         F.greatest(high, prev_c) - F.least(low, prev_c))
-    base = _t.select("event_id", "user_id", "ts", tr.alias("tr"))
+    base = ev.select("event_id", "user_id", "ts", tr.alias("tr"))
     wa = (Window.partitionBy("user_id").orderBy("ts", "event_id")
           .rowsBetween(-(ATR_P - 1), 0))
     # newest-first window of TRs
@@ -166,7 +166,8 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     atr_adaptive_rsi.py:362-395, binance_adapter.py:121-165)."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    non_monotonic = (F.lag("ts").over(w) > F.col("ts")).cast("int")
+    # strict: equal adjacent timestamps are violations too (lag >= ts)
+    non_monotonic = (F.lag("ts").over(w) >= F.col("ts")).cast("int")
     return (ev.select("user_id",
                       F.when(F.col("value") <= 0, 1).otherwise(0)
                       .alias("bad_value"),
@@ -186,7 +187,7 @@ WITH base AS (
   SELECT user_id,
          CASE WHEN value <= 0 THEN 1 ELSE 0 END AS bad_value,
          COALESCE(CASE WHEN LAG(ts) OVER (PARTITION BY user_id
-                       ORDER BY ts, event_id) > ts THEN 1 ELSE 0 END, 0)
+                       ORDER BY ts, event_id) >= ts THEN 1 ELSE 0 END, 0)
            AS bad_ts,
          CASE WHEN event_type IS NULL THEN 1 ELSE 0 END AS null_type
   FROM events
