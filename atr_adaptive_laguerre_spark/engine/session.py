@@ -62,4 +62,12 @@ def build_session(app: str = "atr-adaptive-laguerre-spark",
         b = b.config(f"spark.executorEnv.{k}", v)   # cluster mode
     for k, v in (extra or {}).items():
         b = b.config(k, v)
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        cur = active.conf.get("spark.master", "")
+        if cur != master:
+            # getOrCreate() would silently hand back the old session and
+            # ignore every config above (master, shuffle partitions,
+            # memory) — mistuned benchmarks with no warning; rebuild
+            active.stop()
     return b.getOrCreate()

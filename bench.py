@@ -33,12 +33,20 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def _corpus_path(n_docs: int) -> str:
-    os.makedirs(CACHE_DIR, exist_ok=True)
-    path = os.path.join(CACHE_DIR, f"tokens_{n_docs}.parquet")
-    if not os.path.exists(path):
-        from atr_adaptive_laguerre_spark.data.corpus import write_corpus_parquet
+    import hashlib
+    import inspect
 
-        write_corpus_parquet(path, n_docs=n_docs, seed=42)
+    from atr_adaptive_laguerre_spark.data import corpus as corpus_mod
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    # cache key includes the generator source hash: editing corpus.py
+    # must invalidate cached corpora, or benchmarks silently measure
+    # stale data while their internal asserts still pass
+    gen_sig = hashlib.md5(
+        inspect.getsource(corpus_mod).encode()).hexdigest()[:8]
+    path = os.path.join(CACHE_DIR, f"tokens_{n_docs}_{gen_sig}.parquet")
+    if not os.path.exists(path):
+        corpus_mod.write_corpus_parquet(path, n_docs=n_docs, seed=42)
     return path
 
 

@@ -65,6 +65,12 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name silently matching nothing would print
+        # 'FAILURES: 0' without running anything — fail loud instead
+        print(f"unknown query names: {sorted(unknown)}")
+        return 2
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
