@@ -99,10 +99,52 @@ ORDER BY source, lang_guess
 """
 
 
+TRAIN_FRACTION = 0.9
+
+
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val split — the assignment a
+    training-data pipeline needs to be reproducible across runs and
+    engines: split = md5(doc_id) mapped to [0,1) and thresholded, so a
+    document's assignment never depends on corpus size, row order, or
+    partitioning.  Reports per (source, split) document and character
+    mass.  One shuffle (the report groupBy); the assignment itself is a
+    stateless per-row expression."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frac = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                   16, 10).cast("double") / F.lit(float(16 ** 8)))
+    split = F.when(frac < TRAIN_FRACTION, "train").otherwise("val")
+    return (docs.select("source", split.alias("split"),
+                        F.col("n_chars"))
+            .groupBy("source", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("n_chars"))
+            .orderBy("source", "split"))
+
+
+ORACLE_TRAIN_VAL_SPLIT = f"""
+WITH assigned AS (
+  SELECT source, n_chars,
+         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                   ::DOUBLE / {float(16 ** 8)} < {TRAIN_FRACTION}
+              THEN 'train' ELSE 'val' END AS split
+  FROM documents
+)
+SELECT source, split,
+       COUNT(*) AS n_docs,
+       SUM(n_chars)::BIGINT AS n_chars
+FROM assigned
+GROUP BY source, split
+ORDER BY source, split
+"""
+
+
 QUERIES = {
     "corpus_curation": q_corpus_curation,
+    "train_val_split": q_train_val_split,
 }
 
 ORACLES = {
     "corpus_curation": ORACLE_CORPUS_CURATION,
+    "train_val_split": ORACLE_TRAIN_VAL_SPLIT,
 }

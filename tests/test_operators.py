@@ -280,3 +280,31 @@ def test_embedding_dup_candidates_recall(spark):
     dup = q_dedup_embedding_cosine(spark, SF).toPandas()
     assert (dup["vec_a"] < dup["vec_b"]).all()
     assert (dup["cos_sim"] >= DUP_COS_THRESHOLD).all()
+
+
+def test_train_val_split_determinism_and_stability(spark):
+    """The hash split must be (a) size-independent — a doc keeps its
+    assignment when the corpus is subset — and (b) roughly proportioned
+    to the threshold."""
+    from pyspark.sql import functions as F
+
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        TRAIN_FRACTION, q_train_val_split,
+    )
+
+    rep = q_train_val_split(spark, SF).toPandas()
+    tr = rep.loc[rep["split"] == "train", "n_docs"].sum()
+    tot = rep["n_docs"].sum()
+    assert abs(tr / tot - TRAIN_FRACTION) < 0.08, tr / tot
+
+    # subset stability: assignment depends only on doc_id
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    frac = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                   16, 10).cast("double") / F.lit(float(16 ** 8)))
+    full = {r["doc_id"]: r["s"] for r in docs.select(
+        "doc_id", F.when(frac < TRAIN_FRACTION, "train").otherwise("val")
+        .alias("s")).collect()}
+    sub = {r["doc_id"]: r["s"] for r in docs.limit(100).select(
+        "doc_id", F.when(frac < TRAIN_FRACTION, "train").otherwise("val")
+        .alias("s")).collect()}
+    assert all(full[d] == s for d, s in sub.items())
