@@ -152,6 +152,24 @@ def _kernel_on_docs(pdf: pd.DataFrame, cfg: FeatureConfig,
                     [out["rsi"][b, : lens[b]] for b in range(len(idx))],
                     dtype=object),
             })
+    if not long_form:
+        # the chunker skips n_tok==0 entities (no feature rows in long
+        # form by definition), but the doc grain contracts ONE row per
+        # entity — emit empty docs with empty arrays so they don't
+        # silently vanish from the output
+        empty = np.flatnonzero(lengths == 0)
+        if len(empty):
+            yield pd.DataFrame({
+                "source": pdf["source"].to_numpy()[empty],
+                "doc_id": pdf["doc_id"].to_numpy()[empty],
+                "n_tok": np.zeros(len(empty), dtype=np.int32),
+                "tokens": pd.Series(
+                    [np.empty(0, dtype=np.int32)] * len(empty),
+                    dtype=object),
+                "rsi": pd.Series(
+                    [np.empty(0, dtype=np.float64)] * len(empty),
+                    dtype=object),
+            })
 
 
 def core_features_long(doc_df: DataFrame,
@@ -442,6 +460,28 @@ def features_doc(doc_df: DataFrame, cfg: FeatureConfig | None = None,
                 ]
                 arrays += [pa.ListArray.from_arrays(pa_offs, pa.array(cols[c]))
                            for c in feat_cols]
+                yield pa.RecordBatch.from_arrays(
+                    arrays, ["source", "doc_id", "n_tok", "tokens"]
+                    + feat_cols)
+            # n_tok==0 entities are skipped by the chunker (no long-form
+            # rows) but the doc grain contracts ONE row per entity —
+            # emit them with empty arrays
+            tok_col = rb.column(rb.schema.get_field_index("tokens"))
+            all_lens = pc.list_value_length(tok_col).to_numpy()
+            empty = np.flatnonzero(all_lens == 0)
+            if len(empty):
+                z_offs = pa.array(np.zeros(len(empty) + 1, dtype=np.int32))
+                take_idx = pa.array(empty.astype(np.int64))
+                arrays = [
+                    pc.take(src_col, take_idx),
+                    pc.take(did_col, take_idx),
+                    pa.array(np.zeros(len(empty), dtype=np.int32)),
+                    pa.ListArray.from_arrays(
+                        z_offs, pa.array(np.empty(0, dtype=np.int32))),
+                ]
+                arrays += [pa.ListArray.from_arrays(
+                    z_offs, pa.array(np.empty(0, dtype=np.float64)))
+                    for _ in feat_cols]
                 yield pa.RecordBatch.from_arrays(
                     arrays, ["source", "doc_id", "n_tok", "tokens"]
                     + feat_cols)

@@ -58,11 +58,21 @@ def completed_buckets(spark: SparkSession, manifest_dir: str,
     # no local-filesystem existence check: the manifest may live on any
     # Hadoop-compatible store (s3a://, hdfs://) where os.path.exists is
     # always False and would silently disable resume — the read itself
-    # is the existence probe
+    # is the existence probe.  Only the missing-path case means "first
+    # run"; any other failure (expired credentials, corrupt footer,
+    # transient store error) must surface, or resume silently degrades
+    # into recomputing every completed wave.
+    from pyspark.errors import AnalysisException
+
     try:
         m = spark.read.parquet(manifest_dir)
-    except Exception:
-        return set()
+    except AnalysisException as e:
+        get_cls = (getattr(e, "getCondition", None)
+                   or getattr(e, "getErrorClass", lambda: None))
+        cls = get_cls() or ""
+        if "PATH_NOT_FOUND" in cls or "PATH_NOT_FOUND" in str(e):
+            return set()
+        raise
     rows = (m.filter(F.col("run_id") == run_id)
             .select("bucket").distinct().collect())
     return {r["bucket"] for r in rows}

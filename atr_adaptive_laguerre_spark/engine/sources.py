@@ -26,9 +26,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def is_table_ref(ref: str) -> bool:
-    """A catalog table reference, not a filesystem path."""
-    return ("/" not in ref and "\\" not in ref
-            and not ref.endswith(".parquet"))
+    """A catalog table reference, not a filesystem path.
+
+    Path-like signals beat the table heuristic: a separator, a
+    ``.parquet`` suffix, a URI scheme (``file:/``, ``s3a://``, ...), or
+    a name that actually exists on the local filesystem — otherwise a
+    bare relative directory ('corpus_dir') would be routed to
+    ``spark.read.table`` and fail with a confusing table-not-found."""
+    import os
+    import re
+
+    if "/" in ref or "\\" in ref or ref.endswith(".parquet"):
+        return False
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", ref):   # URI scheme
+        return False
+    if os.path.exists(ref):
+        return False
+    return True
 
 
 def read_sequences(spark: SparkSession, ref: str,

@@ -99,6 +99,118 @@ ORDER BY source, lang_guess
 """
 
 
+def q_corpus_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation with the NEAR-dup gate wired in (VERDICT r2 item 1):
+    on top of the exact-dedup / token-count / quality gates, a document
+    that is a non-canonical member of a verified near-dup cluster
+    (LSH pairs -> connected components, minimum doc_id canonical) is
+    dropped too.  Same per-(source, lang_guess) retention report shape
+    as ``corpus_curation``.
+
+    Plan shape at scale: the base decision stays two shuffles; the
+    near-dup arm adds the linear LSH candidate generation + the
+    component propagation over only the paired docs, joined back
+    broadcast-small (clusters are a tiny fraction of the corpus)."""
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        connected_components, verified_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = words_col()
+    n = F.size(w)
+    stop_ratio, _ttr, quality = quality_cols(w)
+    has_cjk = F.length(F.regexp_replace(F.col("text"),
+                                        r"[^一-鿿]", "")) > 0
+    guess = (F.when(has_cjk, "cjk")
+             .when(stop_ratio >= 0.05, "en")
+             .otherwise("other"))
+    norm = F.concat_ws(" ", w)
+    scored = docs.select(
+        "doc_id", "source",
+        n.alias("token_count"),
+        quality.alias("quality_score"),
+        guess.alias("lang_guess"),
+        F.md5(norm).alias("chash"))
+    comp = connected_components(verified_jaccard_pairs(docs))
+    nd = comp.filter(F.col("id") != F.col("comp")) \
+             .select(F.col("id").alias("doc_id"),
+                     F.lit(1).alias("nd_drop"))
+    cw = Window.partitionBy("chash")
+    flagged = (scored.join(F.broadcast(nd), "doc_id", "left")
+               .withColumn(
+                   "keep",
+                   ((F.col("doc_id") == F.min("doc_id").over(cw))
+                    & F.col("nd_drop").isNull()
+                    & (F.col("token_count") >= MIN_TOKENS)
+                    & (F.col("quality_score") >= MIN_QUALITY)).cast("int")))
+    return (flagged.groupBy("source", "lang_guess")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("keep").alias("n_kept"),
+                 F.sum(F.col("keep") * F.col("token_count"))
+                 .alias("tokens_kept"),
+                 _r6(F.sum("keep").cast("double") / F.count(F.lit(1)))
+                 .alias("kept_ratio"))
+            .orderBy("source", "lang_guess"))
+
+
+def _oracle_corpus_curation_neardup() -> str:
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        _jaccard_pairs_ctes,
+    )
+
+    return f"""
+WITH RECURSIVE {_jaccard_pairs_ctes()},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jpairs
+  UNION
+  SELECT doc_b, doc_a FROM jpairs
+),
+reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a AS id, reach.r AS r
+  FROM edges e JOIN reach ON e.b = reach.id
+),
+nd AS (
+  SELECT id AS doc_id FROM reach GROUP BY id HAVING id != MIN(r)
+),
+w AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS words,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 AS has_cjk
+  FROM documents
+), scored AS (
+  SELECT doc_id, source,
+         length(words) AS token_count,
+         {quality_sql()}
+           AS quality_score,
+         CASE WHEN has_cjk THEN 'cjk'
+              WHEN length(list_filter(words,
+                     x -> list_contains({_sw_sql()}, x)))::DOUBLE
+                   / length(words) >= 0.05 THEN 'en'
+              ELSE 'other' END AS lang_guess,
+         md5(array_to_string(words, ' ')) AS chash
+  FROM w
+), flagged AS (
+  SELECT s.source, s.lang_guess, s.token_count,
+         CAST(s.doc_id = MIN(s.doc_id) OVER (PARTITION BY chash)
+              AND nd.doc_id IS NULL
+              AND s.token_count >= {MIN_TOKENS}
+              AND s.quality_score >= {MIN_QUALITY} AS INT) AS keep
+  FROM scored s LEFT JOIN nd ON nd.doc_id = s.doc_id
+)
+SELECT source, lang_guess,
+       COUNT(*) AS n_docs,
+       SUM(keep)::BIGINT AS n_kept,
+       SUM(keep * token_count)::BIGINT AS tokens_kept,
+       FLOOR((SUM(keep)::DOUBLE / COUNT(*)) * 1000000 + 0.5) / 1000000
+         AS kept_ratio
+FROM flagged
+GROUP BY source, lang_guess
+ORDER BY source, lang_guess
+"""
+
+
 TRAIN_FRACTION = 0.9
 
 
@@ -141,10 +253,12 @@ ORDER BY source, split
 
 QUERIES = {
     "corpus_curation": q_corpus_curation,
+    "corpus_curation_neardup": q_corpus_curation_neardup,
     "train_val_split": q_train_val_split,
 }
 
 ORACLES = {
     "corpus_curation": ORACLE_CORPUS_CURATION,
+    "corpus_curation_neardup": _oracle_corpus_curation_neardup(),
     "train_val_split": ORACLE_TRAIN_VAL_SPLIT,
 }

@@ -88,14 +88,14 @@ ORDER BY doc_id
 """
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard as the LSH *verification* stage: exact
-    |inter|/|union| computed only over the MinHash-LSH candidate pairs
-    (VERDICT r1 item 4 — the corpus-wide shingle self-join is quadratic
-    in docs per hot shingle; candidates are linear).  Per pair, the
-    intersection comes from array_intersect of the two distinct-shingle
-    sets — two doc_id-keyed joins, no all-pairs blow-up."""
-    docs = _docs(spark, sf_dir)
+def verified_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """LSH-verified near-dup pairs (doc_a < doc_b, jaccard >=
+    threshold): exact |inter|/|union| computed only over the MinHash-LSH
+    candidate pairs (VERDICT r1 item 4 — the corpus-wide shingle
+    self-join is quadratic in docs per hot shingle; candidates are
+    linear).  Per pair, the intersection comes from array_intersect of
+    the two distinct-shingle sets — two doc_id-keyed joins, no all-pairs
+    blow-up."""
     cand = _lsh_candidate_pairs(docs)
     sh = docs.select("doc_id", shingles_col().alias("sh"))
     jac = (cand
@@ -110,7 +110,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))))
     return (jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
             .select("doc_a", "doc_b", "n_inter",
-                    _r6(F.col("jaccard")).alias("jaccard"))
+                    _r6(F.col("jaccard")).alias("jaccard")))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing verified near-dup pair list (see
+    :func:`verified_jaccard_pairs`)."""
+    return (verified_jaccard_pairs(_docs(spark, sf_dir))
             .orderBy("doc_a", "doc_b"))
 
 
@@ -178,44 +184,149 @@ def _band_selects() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
-ORACLE_DEDUP_NGRAM_JACCARD = f"""
-WITH w AS (
+def _jaccard_pairs_ctes() -> str:
+    """CTE chain ending in ``jpairs`` — the verified near-dup pairs —
+    shared by the pair-list oracle and the connected-components /
+    curation oracles (namespaced ``j*`` to avoid collisions when
+    embedded next to other chains)."""
+    return f"""jw AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
   FROM documents
-), shl AS (
+), jshl AS (
   SELECT doc_id,
          list_distinct([array_to_string(words[i:i+{NGRAM - 1}], ' ')
                         for i in range(1, length(words) - {NGRAM - 2})])
            AS shingles
-  FROM w
-), sh AS (
-  SELECT doc_id, unnest(shingles) AS s FROM shl
-), mh AS (
+  FROM jw
+), jsh AS (
+  SELECT doc_id, unnest(shingles) AS s FROM jshl
+), jmh AS (
   SELECT doc_id,
          {_mh_sql_cols()}
-  FROM sh
+  FROM jsh
   GROUP BY doc_id
-), bb AS (
-{_band_selects()}
-), cand AS (
+), jbb AS (
+{_band_selects().replace("FROM mh", "FROM jmh")}
+), jcand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bb a JOIN bb b
+  FROM jbb a JOIN jbb b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-), j AS (
+), jj AS (
   SELECT doc_a, doc_b,
          len(list_intersect(sa.shingles, sb.shingles)) AS n_inter,
          len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
-  FROM cand
-  JOIN shl sa ON sa.doc_id = doc_a
-  JOIN shl sb ON sb.doc_id = doc_b
-)
-SELECT doc_a, doc_b, n_inter,
-       FLOOR((n_inter::DOUBLE / (n_a + n_b - n_inter))
-             * 1000000 + 0.5) / 1000000 AS jaccard
-FROM j
-WHERE n_inter::DOUBLE / (n_a + n_b - n_inter) >= {JACCARD_THRESHOLD}
+  FROM jcand
+  JOIN jshl sa ON sa.doc_id = doc_a
+  JOIN jshl sb ON sb.doc_id = doc_b
+), jpairs AS (
+  SELECT doc_a, doc_b, n_inter,
+         FLOOR((n_inter::DOUBLE / (n_a + n_b - n_inter))
+               * 1000000 + 0.5) / 1000000 AS jaccard
+  FROM jj
+  WHERE n_inter::DOUBLE / (n_a + n_b - n_inter) >= {JACCARD_THRESHOLD}
+)"""
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+WITH {_jaccard_pairs_ctes()}
+SELECT doc_a, doc_b, n_inter, jaccard
+FROM jpairs
 ORDER BY doc_a, doc_b
 """
+
+# ---------------------------------------------------------------------------
+# near-dup canonicalization: pairs -> connected components -> canonical
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, a: str = "doc_a",
+                         b: str = "doc_b",
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components over an undirected pair list via iterative
+    min-label propagation: every node starts labelled with its own id;
+    each round replaces the label with min(own, neighbours') until a
+    fixpoint.  The fixpoint label IS the component minimum, i.e. the
+    canonical id.
+
+    Scale shape: all joins/aggregations key on the node id (one hash
+    exchange each); the node set is only the docs that appear in a
+    near-dup pair — a small fraction of the corpus.  Rounds needed =
+    graph diameter, and near-dup clusters are near-cliques (diameter
+    ~1-2); ``max_iter`` bounds pathological chains and the loop exits
+    the moment a round changes nothing.  ``localCheckpoint`` truncates
+    the iterative plan so Catalyst never sees an N-round join tower.
+
+    Returns (id, comp) — one row per node, comp = min id of its
+    component.
+    """
+    e = pairs.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    labels = (sym.select(F.col("a").alias("id")).distinct()
+              .withColumn("comp", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr = (sym.join(labels, sym["b"] == labels["id"])
+               .groupBy("a").agg(F.min("comp").alias("nbr_min")))
+        stepped = (labels.join(nbr, labels["id"] == nbr["a"], "left")
+                   .select(labels["id"],
+                           F.col("comp").alias("old"),
+                           F.least(F.col("comp"),
+                                   F.coalesce("nbr_min", F.col("comp")))
+                           .alias("comp"))
+                   .localCheckpoint(eager=True))
+        changed = stepped.filter(F.col("comp") != F.col("old")).count()
+        labels = stepped.select("id", "comp")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected components did not converge in {max_iter} rounds")
+
+
+def q_dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup canonicalization (VERDICT r2 item 1): verified LSH
+    Jaccard pairs -> connected components -> one canonical (minimum
+    doc_id) per cluster.  Emits every clustered doc with its canonical
+    and the cluster size — the keep/drop groups a curation run needs
+    beyond exact dedup.  DuckDB twin: recursive-CTE transitive closure
+    over the same pair list."""
+    docs = _docs(spark, sf_dir)
+    pairs = verified_jaccard_pairs(docs)
+    comp = connected_components(pairs)
+    w = Window.partitionBy("comp")
+    return (comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("id") == F.col("comp")).cast("int").alias("is_canonical"))
+        .orderBy("doc_id"))
+
+
+ORACLE_DEDUP_CANONICALIZE = f"""
+WITH RECURSIVE {_jaccard_pairs_ctes()},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jpairs
+  UNION
+  SELECT doc_b, doc_a FROM jpairs
+),
+reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a AS id, reach.r AS r
+  FROM edges e JOIN reach ON e.b = reach.id
+),
+comp AS (
+  SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id
+),
+sizes AS (
+  SELECT canonical_id, COUNT(*) AS cluster_size FROM comp
+  GROUP BY canonical_id
+)
+SELECT id AS doc_id, canonical_id, cluster_size,
+       CAST(id = canonical_id AS INT) AS is_canonical
+FROM comp JOIN sizes USING (canonical_id)
+ORDER BY doc_id
+"""
+
 
 ORACLE_DEDUP_MINHASH_LSH = f"""
 WITH w AS (
@@ -295,6 +406,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_canonicalize": q_dedup_canonicalize,
 }
 
 ORACLES = {
@@ -302,4 +414,5 @@ ORACLES = {
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "dedup_canonicalize": ORACLE_DEDUP_CANONICALIZE,
 }

@@ -668,6 +668,78 @@ ORDER BY doc_id, "offset"
 """
 
 
+def oracle_feature_ic_sweep(forward_k: int = 5) -> str:
+    """Twin of ``queries.q_feature_ic_sweep``: per-feature Spearman IC of
+    the 121-column matrix vs the ``forward_k``-step forward log return of
+    the close proxy (the reference's actual IC use case,
+    ``validation/information_coefficient.py:29-145``).
+
+    Close comes from the recursive core CTE (sequential csum — bit-exact
+    with the kernel); ranks are ``row_number`` over the deterministic
+    (quantized value, doc_id, i) order, so the closed-form Spearman
+    ``1 - 6*sum(d^2)/(n*(n^2-1))`` is EXACT integer arithmetic up to the
+    final three float ops — engine-accumulation-order independent
+    (``corr()`` partial sums would not be).  Exactness holds while
+    sum(d^2) <= 2^53, i.e. n up to ~3M pairs per feature — far beyond
+    the sf0.1 gate."""
+    exp_b, _ = expander_ctes("core", "feb", "i")
+    exp_1, _ = expander_ctes("core_m1", "fe1", "i")
+    exp_2, _ = expander_ctes("core_m2", "fe2", "i")
+    cols = multi_interval_columns(True)
+    qcols = ",\n       ".join(f"{_r6(c)} AS {c}" for c in cols)
+    in_list = ", ".join(cols)
+    return f"""
+WITH RECURSIVE {bars_cte()},
+{core_cte('core_r', 'bars')},
+core AS MATERIALIZED (SELECT * FROM core_r),{exp_b},{_resample_cte('bars_m1', M1)},{_resample_cte('bars_m2', M2)},
+{core_cte('core_m1_r', 'bars_m1', from_tokens=False)},
+core_m1 AS MATERIALIZED (SELECT * FROM core_m1_r),{exp_1},
+{core_cte('core_m2_r', 'bars_m2', from_tokens=False)},
+core_m2 AS MATERIALIZED (SELECT * FROM core_m2_r),{exp_2},{_aligned_cte(False)},{_interaction_ctes()},
+feat AS (
+  SELECT doc_id, i,
+       {qcols}
+  FROM it3
+),
+fw AS (
+  SELECT doc_id, i,
+         CASE WHEN close > 0.0::DOUBLE
+                   AND LEAD(close, {forward_k}) OVER w > 0.0::DOUBLE
+              THEN LN(LEAD(close, {forward_k}) OVER w / close) END AS fwd
+  FROM core
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+base AS (
+  SELECT f.*, {_r6('fw.fwd')} AS fwd
+  FROM feat f JOIN fw ON fw.doc_id = f.doc_id AND fw.i = f.i
+  WHERE fw.fwd IS NOT NULL
+),
+melted AS (
+  SELECT doc_id, i, fwd, feature, value
+  FROM base UNPIVOT (value FOR feature IN ({in_list}))
+),
+nn AS (SELECT * FROM melted WHERE NOT isnan(value)),
+ranked AS (
+  SELECT feature,
+         ROW_NUMBER() OVER (PARTITION BY feature
+                            ORDER BY value ASC, doc_id ASC, i ASC) AS rv,
+         ROW_NUMBER() OVER (PARTITION BY feature
+                            ORDER BY fwd ASC, doc_id ASC, i ASC) AS rf
+  FROM nn
+)
+SELECT feature,
+       FLOOR((1.0::DOUBLE - (6.0::DOUBLE * SUM((rv - rf) * (rv - rf))::DOUBLE)
+              / (COUNT(*)::DOUBLE
+                 * (COUNT(*)::DOUBLE * COUNT(*)::DOUBLE - 1.0::DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS spearman_ic,
+       COUNT(*) AS n_pairs
+FROM ranked
+GROUP BY feature
+HAVING COUNT(*) >= 30
+ORDER BY feature
+"""
+
+
 def oracle_rangebar_enrich() -> str:
     """Twin of ``queries.q_rangebar_enrich`` — the rangebar plugin's
     curated 6-column projection over the 43-feature expansion."""

@@ -77,6 +77,18 @@ def test_fit_transform_features_and_projection(spark, corpus_parquet):
     assert len(sub) > 0
 
 
+def test_lookback_matches_reference_rule():
+    """lookback == the reference's min_lookback (atr_adaptive_rsi.py:
+    456-488): (max(atr_period, smoothing_period, 20) + 10), multiplied
+    by max(multiplier) for multi-interval — 30 / 360 at defaults."""
+    assert ATRAdaptiveLaguerreRSI(FeatureConfig(atr_period=14)).lookback() == 30
+    assert ATRAdaptiveLaguerreRSI(
+        FeatureConfig(atr_period=32)).lookback() == 42
+    cfg = FeatureConfig.multi_interval(multiplier_1=3, multiplier_2=12,
+                                       atr_period=14)
+    assert ATRAdaptiveLaguerreRSI(cfg).lookback() == 360
+
+
 def test_lookback_validation(spark, corpus_parquet):
     """validate_lookback raises naming short entities (doc-grain n_tok
     fast path) and passes when every entity is long enough."""

@@ -105,6 +105,25 @@ def test_crash_between_output_and_manifest_is_idempotent(
     assert dupes == 0
 
 
+def test_completed_buckets_missing_vs_broken(spark, tmp_path):
+    """ADVICE r2: only the missing-path case means 'first run' (empty
+    set); a genuinely broken manifest read must raise, not silently
+    disable resume and recompute every wave."""
+    import pytest
+
+    from atr_adaptive_laguerre_spark.engine.manifest import completed_buckets
+
+    missing = str(tmp_path / "no_such_manifest")
+    assert completed_buckets(spark, missing, "rid") == set()
+
+    broken = tmp_path / "broken_manifest"
+    broken.mkdir()
+    (broken / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception) as ei:
+        completed_buckets(spark, str(broken), "rid")
+    assert "PATH_NOT_FOUND" not in str(ei.value)
+
+
 def test_resumable_with_column_projection(spark, corpus_parquet, tmp_path):
     """columns= flows through the checkpoint-resume job: the committed
     output carries only the requested features (plus keys)."""

@@ -77,6 +77,71 @@ def test_dedup_invariants(spark):
     assert ((sim["simhash"] >= 0) & (sim["simhash"] < 2 ** 16)).all()
 
 
+def test_connected_components_known_graph(spark):
+    """Min-label propagation on a known graph: a 4-chain, a triangle,
+    and an isolated pair must produce exactly their component minima,
+    and the loop must converge (chain diameter > 1 exercises >1 round)."""
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),    # triangle
+         (20, 21)],                       # pair
+        "doc_a bigint, doc_b bigint")
+    comp = {r["id"]: r["comp"]
+            for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
+                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_canonicalize_consistent_with_pairs(spark):
+    """Every verified near-dup pair must land in the same component, and
+    each cluster has exactly one canonical == its minimum doc_id."""
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        q_dedup_canonicalize, q_dedup_ngram_jaccard,
+    )
+
+    pairs = q_dedup_ngram_jaccard(spark, SF).toPandas()
+    cano = q_dedup_canonicalize(spark, SF).toPandas()
+    comp = dict(zip(cano["doc_id"], cano["canonical_id"]))
+    for a, b in pairs[["doc_a", "doc_b"]].itertuples(index=False):
+        assert comp[a] == comp[b], (a, b)
+    by_cluster = cano.groupby("canonical_id")
+    assert (by_cluster["is_canonical"].sum() == 1).all()
+    assert (by_cluster["doc_id"].min()
+            == by_cluster["canonical_id"].first()).all()
+    assert (by_cluster["doc_id"].size()
+            == by_cluster["cluster_size"].first()).all()
+
+
+def test_curation_neardup_consistent_with_components(spark):
+    """The near-dup curation variant keeps a subset of the base curation
+    keeps, and the difference in kept docs is exactly the non-canonical
+    cluster members that the base gates would have kept."""
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        q_corpus_curation, q_corpus_curation_neardup,
+    )
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        q_dedup_canonicalize,
+    )
+
+    base = (q_corpus_curation(spark, SF).toPandas()
+            .set_index(["source", "lang_guess"]))
+    nd = (q_corpus_curation_neardup(spark, SF).toPandas()
+          .set_index(["source", "lang_guess"]))
+    assert (nd["n_kept"] <= base["n_kept"]).all()
+    assert (nd["n_docs"] == base["n_docs"]).all()
+    cano = q_dedup_canonicalize(spark, SF).toPandas()
+    n_noncanon = int((cano["is_canonical"] == 0).sum())
+    dropped = int(base["n_kept"].sum() - nd["n_kept"].sum())
+    # every extra drop is a non-canonical member (some non-canonicals
+    # were already dropped by the exact/token/quality gates)
+    assert 0 <= dropped <= n_noncanon
+    assert n_noncanon > 0          # the synthetic corpus has near-dups
+
+
 def test_lsh_recall_vs_exact_jaccard(spark, tmp_path):
     """LSH candidate recall against an INDEPENDENT exact all-pairs
     Jaccard baseline (not the verification query, which is downstream of

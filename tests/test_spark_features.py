@@ -208,6 +208,18 @@ def test_read_sequences_table_and_path(spark, doc_df):
     assert is_table_ref("db.tokens") and is_table_ref("cat.db.tokens")
     assert not is_table_ref("/data/tokens.parquet")
     assert not is_table_ref("rel/dir")
+    # URI schemes and existing local names are paths, not tables
+    assert not is_table_ref("file:data.parquet")
+    assert not is_table_ref("s3a:bucket")
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        cwd = os.getcwd()
+        os.chdir(os.path.dirname(td))
+        try:
+            assert not is_table_ref(os.path.basename(td))
+        finally:
+            os.chdir(cwd)
 
     doc_df.createOrReplaceTempView("seq_view")
     via_table = read_sequences(spark, "seq_view")
@@ -250,8 +262,21 @@ def test_empty_token_docs_are_skipped(spark):
     assert set(out["doc_id"]) == {"r0", "r1", "r2"}
 
     from atr_adaptive_laguerre_spark.engine.features_job import (
-        core_features_long,
+        core_features_doc, core_features_long,
     )
 
     core = core_features_long(df, FeatureConfig(atr_period=14)).toPandas()
     assert len(core) == sum(59 + i for i in range(3))
+
+    # doc grain contracts ONE row per entity: empty docs must appear
+    # with empty arrays, not silently vanish (ADVICE r2)
+    doc_out = features_doc(df, CFG43).toPandas()
+    assert len(doc_out) == 43
+    empties = doc_out[doc_out["n_tok"] == 0]
+    assert len(empties) == 40
+    assert all(len(t) == 0 for t in empties["tokens"])
+    assert all(len(v) == 0 for v in empties["rsi"])
+
+    core_doc = core_features_doc(df, FeatureConfig(atr_period=14)).toPandas()
+    assert len(core_doc) == 43
+    assert (core_doc["n_tok"] == 0).sum() == 40
