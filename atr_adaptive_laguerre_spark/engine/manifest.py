@@ -16,11 +16,11 @@ appended with lineage + metrics:
     input_fingerprint (order-independent xor-fold of doc content hashes),
     wall_sec, finished_at
 
-``n_rows`` is the CONTRACTED output row count — one row per token, the
-grain features_long guarantees and the token-roundtrip tests pin — not
-a re-count of the written files (which would cost a second scan per
-wave).  If a future output variant changes the row grain, this field's
-derivation must change with it.
+``n_rows`` is MEASURED from the committed wave output (a count over the
+freshly written bucket partitions — parquet answers it from footer
+metadata, no data pages are read), so a row-grain drift between the
+contract (one row per token) and what actually landed on disk surfaces
+in the manifest instead of hiding behind the assumption.
 
 Resume = anti-join against the manifest's completed buckets: a re-run
 after an interruption skips finished waves and completes the rest.  The
@@ -135,6 +135,12 @@ def run_resumable(spark: SparkSession, doc_df: DataFrame,
                           F.sum("n_tok").alias("n_tokens"),
                           F.expr("bit_xor(dh)").alias("fp")))
         stats = {r["bucket"]: r for r in doc_stats.collect()}
+        # measured output rows per bucket: metadata-only parquet count
+        # over exactly this wave's partition directories
+        written = (spark.read.parquet(output_dir)
+                   .filter(F.col("bucket").isin([int(b) for b in wave]))
+                   .groupBy("bucket").count().collect())
+        n_written = {r["bucket"]: int(r["count"]) for r in written}
         now = time.time()
         rows = []
         for b in wave:
@@ -142,7 +148,7 @@ def run_resumable(spark: SparkSession, doc_df: DataFrame,
             rows.append((run_id, int(b),
                          int(st["n_docs"]) if st else 0,
                          int(st["n_tokens"]) if st else 0,
-                         int(st["n_tokens"]) if st else 0,  # 1 row/token
+                         n_written.get(int(b), 0),
                          int(st["fp"]) if st else 0,
                          float(wall), float(now)))
         (spark.createDataFrame(rows, MANIFEST_SCHEMA)

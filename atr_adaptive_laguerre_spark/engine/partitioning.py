@@ -58,3 +58,27 @@ def split_oversized(df: DataFrame, oversize_threshold: int,
     normal = df.filter(F.col(n_tok_col) <= oversize_threshold)
     oversized = df.filter(F.col(n_tok_col) > oversize_threshold)
     return normal, oversized
+
+
+def tiered_repartition(df: DataFrame, num_partitions: int,
+                       oversize_threshold: int,
+                       n_tok_col: str = "n_tok") -> DataFrame:
+    """Two-tier skew layout ready for a doc-grain kernel job: normal
+    entities round-robin over ``num_partitions`` tasks; every oversized
+    entity gets a SINGLETON partition (range partitioning of n giants
+    into n partitions -> exactly one each), so a multi-million-token doc
+    never shares a task with a wave of normal docs and two giants never
+    straggle the same task.
+
+    The giant's own wall is irreducible (the recurrence is sequential
+    per entity), so the optimum any layout can reach is
+    ``max(T(largest giant), T(normal mass)/cores)`` — this layout
+    reaches it.  The ``count()`` is bounded driver-side bookkeeping
+    (number of giants only).  Measured evidence: BENCH/BASELINE.md skew
+    section + tools/bench_skew.py."""
+    normal, oversized = split_oversized(df, oversize_threshold, n_tok_col)
+    n_big = oversized.count()
+    if n_big == 0:
+        return df.repartition(num_partitions)
+    return (normal.repartition(num_partitions)
+            .unionByName(oversized.repartitionByRange(n_big, "doc_id")))

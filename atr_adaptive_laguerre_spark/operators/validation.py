@@ -26,15 +26,21 @@ def _r6(col):
     return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 
 
-def q_information_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _information_coefficient(spark: SparkSession, sf_dir: str,
+                             return_type: str = "log") -> DataFrame:
     """Per-event-type Spearman IC between the feature (value) and the
-    k-step forward LOG return of the same user's series — the reference's
-    IC payload (``information_coefficient.py:106-113``: return[t] =
-    log(p[t+k]/p[t]), pairwise NaN drop, >= 30 valid pairs).  ``value``
-    is strictly positive in the events table, so the log is total."""
+    k-step forward return of the same user's series — the reference's
+    IC payload (``information_coefficient.py:33,106-113``: ``log`` ->
+    return[t] = log(p[t+k]/p[t]), ``simple`` -> p[t+k]/p[t] - 1,
+    pairwise NaN drop, >= 30 valid pairs).  ``value`` is strictly
+    positive in the events table, so the log is total."""
+    if return_type not in ("log", "simple"):
+        raise ValueError(
+            f"return_type must be 'log' or 'simple', got {return_type!r}")
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    fwd = F.log(F.lead("value", FORWARD_K).over(w) / F.col("value"))
+    ratio = F.lead("value", FORWARD_K).over(w) / F.col("value")
+    fwd = F.log(ratio) if return_type == "log" else ratio - F.lit(1.0)
     base = (ev.select("event_id", "event_type", "value", fwd.alias("fwd"))
             .filter(F.col("fwd").isNotNull()))
     wr = Window.partitionBy("event_type")
@@ -51,6 +57,49 @@ def q_information_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n_pairs") >= 30)
             .orderBy("event_type"))
 
+
+def q_information_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ``return_type="log"`` IC (the default)."""
+    return _information_coefficient(spark, sf_dir, "log")
+
+
+def q_information_coefficient_simple(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Reference ``return_type="simple"`` IC
+    (``information_coefficient.py:106-113``: p[t+k]/p[t] - 1)."""
+    return _information_coefficient(spark, sf_dir, "simple")
+
+
+def _oracle_ic(fwd_expr: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT event_id, event_type, value,
+         {fwd_expr} AS fwd
+  FROM events
+), nn AS (
+  SELECT * FROM base WHERE fwd IS NOT NULL
+), ranked AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC)::DOUBLE AS rv,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY fwd ASC, event_id ASC)::DOUBLE AS rf
+  FROM nn
+)
+SELECT event_type,
+       FLOOR(corr(rv, rf) * 1000000 + 0.5) / 1000000 AS spearman_ic,
+       COUNT(*) AS n_pairs
+FROM ranked
+GROUP BY event_type
+HAVING COUNT(*) >= 30
+ORDER BY event_type
+"""
+
+
+_LEAD = (f"LEAD(value, {FORWARD_K}) OVER (PARTITION BY user_id "
+         f"ORDER BY ts, event_id)")
+ORACLE_INFORMATION_COEFFICIENT_SIMPLE = _oracle_ic(
+    f"{_LEAD} / value - 1.0::DOUBLE")
 
 ORACLE_INFORMATION_COEFFICIENT = f"""
 WITH base AS (
@@ -235,12 +284,14 @@ ORDER BY lo.event_type
 
 QUERIES = {
     "information_coefficient": q_information_coefficient,
+    "information_coefficient_simple": q_information_coefficient_simple,
     "ood_regime_split": q_ood_regime_split,
     "ood_robustness": q_ood_robustness,
 }
 
 ORACLES = {
     "information_coefficient": ORACLE_INFORMATION_COEFFICIENT,
+    "information_coefficient_simple": ORACLE_INFORMATION_COEFFICIENT_SIMPLE,
     "ood_regime_split": ORACLE_OOD_REGIME_SPLIT,
     "ood_robustness": ORACLE_OOD_ROBUSTNESS,
 }

@@ -39,7 +39,10 @@ from atr_adaptive_laguerre_spark.kernel.multi_interval_ref import (
     INTERACTION_COLUMNS, multi_interval_columns,
 )
 
-# engine constants (FeatureConfig defaults used by the flagship queries)
+# engine constants (FeatureConfig defaults used by the flagship queries);
+# every generator also accepts a FeatureConfig to emit the SQL for any
+# other config (the second-config gate in tests/test_second_config.py
+# proves no constant is accidentally baked in)
 ATR_PERIOD = 14
 ADAPTIVE_OFFSET = 0.75
 UP, DOWN = 0.85, 0.15
@@ -129,7 +132,9 @@ bars AS MATERIALIZED (
 # ---------------------------------------------------------------------------
 
 def core_cte(name: str, bars: str, idx: str = "i",
-             from_tokens: bool = True) -> str:
+             from_tokens: bool = True, atr_period: int = ATR_PERIOD,
+             adaptive_offset: float = ADAPTIVE_OFFSET,
+             velocity_span: int = VSPAN) -> str:
     """Recursive CTE running the fused C1-C8 recurrence
     (``kernel/reference_impl.core_loop``) plus the EWM velocity
     accumulator (``expander_batched._ewm_mean``) over each doc.
@@ -144,9 +149,10 @@ def core_cte(name: str, bars: str, idx: str = "i",
     (~100x slower).  Each dependency level is therefore a *nested
     subquery*, whose projection materializes its columns exactly once.
     """
-    p = ATR_PERIOD
-    alpha, om_alpha = _d(ALPHA), _d(1.0 - ALPHA)
-    base_p, off = _d(float(ATR_PERIOD)), _d(ADAPTIVE_OFFSET)
+    p = atr_period
+    a = 2.0 / (velocity_span + 1.0)
+    alpha, om_alpha = _d(a), _d(1.0 - a)
+    base_p, off = _d(float(atr_period)), _d(adaptive_offset)
     # the kernel state + outputs the CTE carries (column order = anchor)
     keys = ["doc_id", "source", idx] + (["token", "avail"] if from_tokens
                                         else [])
@@ -281,17 +287,22 @@ def _revsum(lst: str) -> str:
     return f"list_reduce(list_reverse({lst}), (a, b) -> a + b)"
 
 
-def expander_ctes(core: str, pre: str, idx: str = "i") -> tuple[str, str]:
+def expander_ctes(core: str, pre: str, idx: str = "i",
+                  level_up: float = UP, level_down: float = DOWN,
+                  stats_window: int = SW) -> tuple[str, str]:
     """CTE chain computing the 43 expander columns
     (``kernel/expander_batched.expand_batched``, op order mirrored) over a
     core CTE; returns (sql_fragment, final_cte_name).  All layer-local
     helper columns are prefixed to avoid collisions when several grains
-    are stitched together."""
+    are stitched together.  The 100-bar vol-of-vol window and the
+    min_periods=20 spike gate are FIXED in the reference
+    (expander_batched.py:266-276) — only up/down/stats_window vary."""
+    SW = stats_window
     w = f"PARTITION BY doc_id ORDER BY {idx}"
     cum = f"{w} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     f19 = f"{w} ROWS BETWEEN {SW - 1} PRECEDING AND CURRENT ROW"
     f99 = f"{w} ROWS BETWEEN 99 PRECEDING AND CURRENT ROW"
-    up, down = _d(UP), _d(DOWN)
+    up, down = _d(level_up), _d(level_down)
     eps = _d(1e-10)
     x1, x2, x3, x4 = (f"{pre}_x1", f"{pre}_x2", f"{pre}_x3", f"{pre}_x4")
 
@@ -444,7 +455,7 @@ def _resample_cte(name: str, m: int) -> str:
 )"""
 
 
-def _aligned_cte(availability: bool) -> str:
+def _aligned_cte(availability: bool, m1: int = M1, m2: int = M2) -> str:
     """Join the three grains onto the base grid.
 
     Positional (``_align_gather_idx``): base row i -> mult row
@@ -471,12 +482,12 @@ lens2 AS (SELECT doc_id, count(*) AS n FROM core_m2 GROUP BY doc_id)"""
 avm1 AS MATERIALIZED (
   SELECT c.doc_id, c.i AS j, b.avail AS avail_m
   FROM core_m1 c JOIN core b
-    ON b.doc_id = c.doc_id AND b.i = (c.i + 1) * {M1} - 1
+    ON b.doc_id = c.doc_id AND b.i = (c.i + 1) * {m1} - 1
 ),
 avm2 AS MATERIALIZED (
   SELECT c.doc_id, c.i AS j, b.avail AS avail_m
   FROM core_m2 c JOIN core b
-    ON b.doc_id = c.doc_id AND b.i = (c.i + 1) * {M2} - 1
+    ON b.doc_id = c.doc_id AND b.i = (c.i + 1) * {m2} - 1
 ),
 aidx1 AS MATERIALIZED (
   SELECT b.doc_id, b.i, count(a.avail_m) AS cnt
@@ -613,23 +624,47 @@ it3 AS (
 )"""
 
 
-def oracle_features_121(availability: bool = False) -> str:
+def _cfg_kw(cfg) -> dict:
+    """Generator kwargs for a FeatureConfig (None -> flagship defaults)."""
+    if cfg is None:
+        return {"core": {}, "exp": {}, "m1": M1, "m2": M2}
+    return {
+        "core": {"atr_period": cfg.atr_period,
+                 "adaptive_offset": cfg.adaptive_offset,
+                 "velocity_span": cfg.velocity_span},
+        "exp": {"level_up": cfg.level_up, "level_down": cfg.level_down,
+                "stats_window": cfg.stats_window},
+        "m1": cfg.multiplier_1 if cfg.multiplier_1 is not None else M1,
+        "m2": cfg.multiplier_2 if cfg.multiplier_2 is not None else M2,
+    }
+
+
+def _multi_interval_ctes(availability: bool, cfg=None) -> str:
+    """Shared CTE assembly for the 121-column pipeline (tokenize ->
+    core recurrence x3 grains -> expanders -> alignment -> interactions),
+    ending in ``it3``."""
+    kw = _cfg_kw(cfg)
+    exp_b, _ = expander_ctes("core", "feb", "i", **kw["exp"])
+    exp_1, _ = expander_ctes("core_m1", "fe1", "i", **kw["exp"])
+    exp_2, _ = expander_ctes("core_m2", "fe2", "i", **kw["exp"])
+    return f"""{bars_cte()},
+{core_cte('core_r', 'bars', **kw['core'])},
+core AS MATERIALIZED (SELECT * FROM core_r),{exp_b},{_resample_cte('bars_m1', kw['m1'])},{_resample_cte('bars_m2', kw['m2'])},
+{core_cte('core_m1_r', 'bars_m1', from_tokens=False, **kw['core'])},
+core_m1 AS MATERIALIZED (SELECT * FROM core_m1_r),{exp_1},
+{core_cte('core_m2_r', 'bars_m2', from_tokens=False, **kw['core'])},
+core_m2 AS MATERIALIZED (SELECT * FROM core_m2_r),{exp_2},{_aligned_cte(availability, kw['m1'], kw['m2'])},{_interaction_ctes()}"""
+
+
+def oracle_features_121(availability: bool = False, cfg=None) -> str:
     """Twin of ``queries.q_features_121`` / ``q_features_121_availability``
-    (quantized to 1e-6)."""
-    exp_b, _ = expander_ctes("core", "feb", "i")
-    exp_1, _ = expander_ctes("core_m1", "fe1", "i")
-    exp_2, _ = expander_ctes("core_m2", "fe2", "i")
+    (quantized to 1e-6).  ``cfg`` emits the SQL for a non-default
+    FeatureConfig (second-config gate)."""
     # the aligned CTE already emits feature-named {col}_{grain} columns
     cols = ",\n       ".join(f"{_r6(c)} AS {c}"
                              for c in multi_interval_columns(True))
     return f"""
-WITH RECURSIVE {bars_cte()},
-{core_cte('core_r', 'bars')},
-core AS MATERIALIZED (SELECT * FROM core_r),{exp_b},{_resample_cte('bars_m1', M1)},{_resample_cte('bars_m2', M2)},
-{core_cte('core_m1_r', 'bars_m1', from_tokens=False)},
-core_m1 AS MATERIALIZED (SELECT * FROM core_m1_r),{exp_1},
-{core_cte('core_m2_r', 'bars_m2', from_tokens=False)},
-core_m2 AS MATERIALIZED (SELECT * FROM core_m2_r),{exp_2},{_aligned_cte(availability)},{_interaction_ctes()}
+WITH RECURSIVE {_multi_interval_ctes(availability, cfg)}
 SELECT source, doc_id, i AS "offset", token,
        {cols}
 FROM it3
@@ -637,9 +672,10 @@ ORDER BY doc_id, "offset"
 """
 
 
-def oracle_features_43() -> str:
+def oracle_features_43(cfg=None) -> str:
     """Twin of ``queries.q_features_43`` (quantized to 1e-6)."""
-    exp, final = expander_ctes("core", "e", "i")
+    kw = _cfg_kw(cfg)
+    exp, final = expander_ctes("core", "e", "i", **kw["exp"])
     outs = []
     for c in FEATURE_COLUMNS:
         src = {"gamma_value": "gamma", "rsi_velocity": "vel"}.get(c, c)
@@ -647,7 +683,7 @@ def oracle_features_43() -> str:
     cols = ",\n       ".join(outs)
     return f"""
 WITH RECURSIVE {bars_cte()},
-{core_cte('core', 'bars')},{exp}
+{core_cte('core', 'bars', **kw['core'])},{exp}
 SELECT source, doc_id, i AS "offset", token,
        {cols}
 FROM {final}
@@ -655,12 +691,13 @@ ORDER BY doc_id, "offset"
 """
 
 
-def oracle_core_rsi() -> str:
+def oracle_core_rsi(cfg=None) -> str:
     """Twin of ``queries.q_core_rsi_features`` (quantized to 1e-6)."""
+    kw = _cfg_kw(cfg)
     cols = ",\n       ".join(f"{_r6(c)} AS {c}" for c in CORE_OUT_COLS)
     return f"""
 WITH RECURSIVE {bars_cte()},
-{core_cte('core', 'bars')}
+{core_cte('core', 'bars', **kw['core'])}
 SELECT source, doc_id, i AS "offset", token,
        {cols}
 FROM core
@@ -682,20 +719,11 @@ def oracle_feature_ic_sweep(forward_k: int = 5) -> str:
     (``corr()`` partial sums would not be).  Exactness holds while
     sum(d^2) <= 2^53, i.e. n up to ~3M pairs per feature — far beyond
     the sf0.1 gate."""
-    exp_b, _ = expander_ctes("core", "feb", "i")
-    exp_1, _ = expander_ctes("core_m1", "fe1", "i")
-    exp_2, _ = expander_ctes("core_m2", "fe2", "i")
     cols = multi_interval_columns(True)
     qcols = ",\n       ".join(f"{_r6(c)} AS {c}" for c in cols)
     in_list = ", ".join(cols)
     return f"""
-WITH RECURSIVE {bars_cte()},
-{core_cte('core_r', 'bars')},
-core AS MATERIALIZED (SELECT * FROM core_r),{exp_b},{_resample_cte('bars_m1', M1)},{_resample_cte('bars_m2', M2)},
-{core_cte('core_m1_r', 'bars_m1', from_tokens=False)},
-core_m1 AS MATERIALIZED (SELECT * FROM core_m1_r),{exp_1},
-{core_cte('core_m2_r', 'bars_m2', from_tokens=False)},
-core_m2 AS MATERIALIZED (SELECT * FROM core_m2_r),{exp_2},{_aligned_cte(False)},{_interaction_ctes()},
+WITH RECURSIVE {_multi_interval_ctes(False)},
 feat AS (
   SELECT doc_id, i,
        {qcols}

@@ -596,6 +596,7 @@ def _merge_flagship_oracles() -> None:
     ORACLES["features_121_availability"] = _o.oracle_features_121(True)
     ORACLES["rangebar_enrich"] = _o.oracle_rangebar_enrich()
     ORACLES["session_features"] = ORACLE_SESSION_FEATURES
+    ORACLES["feature_ic_sweep"] = _o.oracle_feature_ic_sweep()
 
 
 ORACLES: dict[str, str] = {
@@ -750,3 +751,73 @@ def q_features_121_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["features_121_availability"] = q_features_121_availability
+
+
+def q_feature_ic_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feature Spearman IC of the engine's own 121-column feature
+    matrix vs the 5-step forward log return of the close proxy — the
+    reference's actual IC use case (validation/information_coefficient.py:
+    29-145) composed over ``features_long`` output (VERDICT r2 item 2).
+
+    Close is the same sequential cumsum the kernel computes (Spark's
+    running-window sum accumulates left-to-right — bit-exact with the
+    recursive-CTE csum).  Ranks are ``row_number`` over the quantized
+    (value, doc_id, offset) order, so the closed-form Spearman
+    ``1 - 6*sum(d^2)/(n*(n^2-1))`` is exact integer arithmetic up to the
+    final three float ops — no engine-dependent ``corr()`` accumulation.
+    NaN feature values (mult columns of docs shorter than a multiplier)
+    drop pairwise, like the reference.
+
+    Scale shape: one linear unpivot (121 rows/input row), then one
+    exchange keyed on feature for the two ranks — at 100 TB this metric
+    runs over a bounded evaluation sample, not the full corpus, exactly
+    as the reference applies it."""
+    from atr_adaptive_laguerre_spark.engine.features_job import (
+        feature_columns_for, features_long,
+    )
+    from atr_adaptive_laguerre_spark.engine.tokens import (
+        tokenize_documents_portable,
+    )
+
+    k = 5
+    docs = _t(spark, sf_dir, "documents")
+    cfg = FeatureConfig.multi_interval(multiplier_1=3, multiplier_2=12,
+                                       atr_period=14)
+    feats = features_long(tokenize_documents_portable(docs), cfg)
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    step = (F.col("token") % 997 - 498).cast("double") / F.lit(100.0)
+    close = (F.lit(100.0)
+             + F.sum(step).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    withc = feats.withColumn("close", close)
+    lead = F.lead("close", k).over(w)
+    fwd = F.when((F.col("close") > F.lit(0.0)) & (lead > F.lit(0.0)),
+                 F.log(lead / F.col("close")))
+    base = (withc.withColumn("fwd", fwd)
+            .filter(F.col("fwd").isNotNull())
+            .withColumn("fwd", _r6(F.col("fwd"))))
+    feat_cols = feature_columns_for(cfg)
+    melted = base.unpivot(["doc_id", "offset", "fwd"], feat_cols,
+                          "feature", "value")
+    nn = (melted.filter(~F.isnan("value"))
+          .select("feature", "doc_id", "offset",
+                  _r6(F.col("value")).alias("value"), "fwd"))
+    wf = Window.partitionBy("feature")
+    rv = F.row_number().over(
+        wf.orderBy(F.col("value").asc(), F.col("doc_id").asc(),
+                   F.col("offset").asc())).cast("long")
+    rf = F.row_number().over(
+        wf.orderBy(F.col("fwd").asc(), F.col("doc_id").asc(),
+                   F.col("offset").asc())).cast("long")
+    ranked = nn.select("feature", rv.alias("rv"), rf.alias("rf"))
+    d2 = F.sum((F.col("rv") - F.col("rf"))
+               * (F.col("rv") - F.col("rf"))).cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    ic = F.lit(1.0) - (F.lit(6.0) * d2) / (n * (n * n - F.lit(1.0)))
+    return (ranked.groupBy("feature")
+            .agg(_r6(ic).alias("spearman_ic"),
+                 F.count(F.lit(1)).alias("n_pairs"))
+            .filter(F.col("n_pairs") >= 30)
+            .orderBy("feature"))
+
+
+QUERIES["feature_ic_sweep"] = q_feature_ic_sweep

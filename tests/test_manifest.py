@@ -38,11 +38,15 @@ def test_resume_after_interruption(spark, corpus_parquet, tmp_path):
              .filter(F.col("count") > 1).count())
     assert dupes == 0
 
-    # manifest: one row per bucket, metrics consistent with the input
+    # manifest: one row per bucket, metrics consistent with the input;
+    # n_rows is MEASURED from the committed files and must equal the
+    # 1-row-per-token contract
     man = spark.read.parquet(man_dir).toPandas()
     assert sorted(man["bucket"]) == list(range(8))
     assert man["n_docs"].sum() == doc_df.count()
     assert man["n_tokens"].sum() == n_tok_total
+    assert man["n_rows"].sum() == n_tok_total
+    assert (man["n_rows"] == man["n_tokens"]).all()
     assert (man["wall_sec"] > 0).all()
     assert man["input_fingerprint"].nunique() == 8  # lineage is per-bucket
 

@@ -40,6 +40,53 @@ def test_byte_features_and_media_decode():
         decode_media(b"\x89PNG", "image/png")
 
 
+def test_vectorized_featurizers_match_per_row_reference():
+    """The batch-vectorized byte/audio feature math must equal a naive
+    per-row loop on adversarial layouts: empty rows at the front, middle
+    and END of the batch (reduceat/cumsum boundary traps), and
+    single-element segments."""
+    from atr_adaptive_laguerre_spark.operators.multimodal import (
+        byte_features,
+    )
+
+    rng = np.random.default_rng(7)
+    payloads = [b"", bytes(rng.integers(0, 256, 37, dtype=np.uint8)),
+                b"\x00", b"", bytes(rng.integers(0, 256, 5, dtype=np.uint8)),
+                bytes([255]) * 9, b""]
+    feats = byte_features(np.array(payloads, dtype=object))
+    for i, b in enumerate(payloads):
+        arr = np.frombuffer(b, dtype=np.uint8)
+        assert feats["n_bytes"][i] == len(arr)
+        assert feats["mean_byte"][i] == (arr.mean() if len(arr) else 0.0)
+        assert feats["distinct_bytes"][i] == len(np.unique(arr))
+
+    # audio segment math: vectorized cumsum/reduceat path vs the naive
+    # per-row formulas, on adversarial layouts (empty first/middle/LAST
+    # segments, single-sample segments)
+    from atr_adaptive_laguerre_spark.operators.multimodal import (
+        audio_segment_features,
+    )
+
+    segs = [np.empty(0, np.int16),
+            np.array([5], np.int16),
+            rng.integers(-32768, 32768, 97).astype(np.int16),
+            np.empty(0, np.int16),
+            np.array([-3, 4, -5, 6], np.int16),
+            np.array([-32768] * 7, np.int16),
+            np.empty(0, np.int16)]
+    got = audio_segment_features(segs)
+    for i, s in enumerate(segs):
+        f = s.astype(np.float64)
+        assert got["n_samples"][i] == len(s)
+        exp_rms = float(np.sqrt(np.dot(f, f) / len(f))) if len(f) else 0.0
+        assert got["rms"][i] == exp_rms, i
+        nonneg = s >= 0
+        assert got["zero_crossings"][i] == int(
+            (nonneg[1:] != nonneg[:-1]).sum()), i
+        exp_peak = int(np.abs(f).max()) if len(f) else 0
+        assert got["peak"][i] == exp_peak, i
+
+
 def test_shingles_short_doc(spark):
     from atr_adaptive_laguerre_spark.operators.dedup import shingles_col
 
@@ -276,6 +323,34 @@ def test_ivf_topk_vs_exact(spark):
         assert (ivf.loc[ivf["query_id"] == q, "cos_sim"].max()
                 <= ex.loc[ex["query_id"] == q, "cos_sim"].max() + 1e-12)
     assert hits / tot > 0.35, hits / tot
+
+
+def test_kmeans_codebook_trains_and_quantizes(spark):
+    """The IVF codebook is genuinely TRAINED (Lloyd updates move the
+    cells away from their seed vectors) and every centroid component
+    lies on the 1e-6 grid (the ADVICE r2 cross-engine invariant: raw
+    avg residue must never feed an assignment cosine)."""
+    from pyspark.sql import functions as F
+
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        _kmeans_codebook, _norm,
+    )
+
+    emb = (spark.read.parquet(f"{SF}/embeddings.parquet")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v")))
+    emb = emb.withColumn("nrm", _norm(F.col("v")))
+    cent = _kmeans_codebook(emb).toPandas()
+    seeds = {r["vec_id"]: np.asarray(r["v"])
+             for r in emb.filter(F.col("vec_id") < 10).collect()}
+    moved = 0
+    for _, row in cent.iterrows():
+        cv = np.asarray(row["cv"])
+        q = np.floor(cv * 1e6 + 0.5) / 1e6
+        np.testing.assert_array_equal(cv, q)       # on the 1e-6 grid
+        if row["cell"] in seeds and not np.array_equal(cv, seeds[row["cell"]]):
+            moved += 1
+    assert moved >= len(cent) - 1   # training moved (nearly) every cell
 
 
 def test_ivf_recall_on_clustered_corpus(spark):

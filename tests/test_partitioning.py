@@ -54,6 +54,37 @@ def test_split_oversized_tiers(spark, corpus_parquet):
     assert normal.agg(F.max("n_tok")).collect()[0][0] <= 800
 
 
+def test_tiered_repartition_isolates_giants(spark):
+    """tiered_repartition gives every oversized doc a SINGLETON
+    partition (no giant shares a task with anything) while the normal
+    tier spreads over the requested partitions; with no giants it
+    degrades to a plain round-robin."""
+    import pandas as pd
+
+    from atr_adaptive_laguerre_spark.engine.partitioning import (
+        tiered_repartition,
+    )
+
+    rows = [("s0", f"d{i}", list(range(50)), 50) for i in range(200)]
+    rows += [("s0", f"g{i}", list(range(5000)), 5000) for i in range(3)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "doc_id", "tokens", "n_tok"]))
+    tiered = tiered_repartition(df, 8, oversize_threshold=1000)
+    pid = (tiered.select("doc_id", "n_tok",
+                         F.spark_partition_id().alias("pid"))
+           .toPandas())
+    assert len(pid) == 203                   # nothing lost
+    giant_pids = pid[pid["n_tok"] > 1000]["pid"]
+    per_pid = pid.groupby("pid").size()
+    for p in giant_pids:
+        assert per_pid[p] == 1, (p, per_pid[p])   # giants are alone
+    assert giant_pids.nunique() == 3              # and never share
+
+    no_giants = tiered_repartition(df.filter(F.col("n_tok") <= 1000),
+                                   8, oversize_threshold=1000)
+    assert no_giants.rdd.getNumPartitions() == 8
+
+
 def test_work_balance_by_bytes(spark, corpus_parquet):
     """Under salted range partitioning of doc-grain rows, per-partition
     token mass (∝ kernel work) stays within a sane skew factor."""
