@@ -47,23 +47,39 @@ CFG = FeatureConfig.multi_interval(multiplier_1=3, multiplier_2=12,
 
 def build_corpus(spark, path: str) -> None:
     """Deterministic heavy-tailed doc-grain corpus: N_SMALL docs of
-    SMALL_LEN tokens + N_GIANT giants of GIANT_LEN, shuffled."""
-    import pandas as pd
+    SMALL_LEN tokens + N_GIANT giants of GIANT_LEN, shuffled.  Written
+    straight through pyarrow (a Spark createDataFrame of multi-million
+    element lists would row-convert for minutes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     rng = np.random.default_rng(42)
-    rows = []
+    lens, ids = [], []
     for i in range(N_SMALL):
-        toks = ((np.arange(SMALL_LEN, dtype=np.int64) * 2654435761 + i)
-                % 50000).astype(np.int32)
-        rows.append(("s0", f"d{i:06d}", toks, SMALL_LEN))
+        ids.append(f"d{i:06d}")
+        lens.append(SMALL_LEN)
     for g in range(N_GIANT):
-        toks = ((np.arange(GIANT_LEN, dtype=np.int64) * 2654435761 + g)
-                % 50000).astype(np.int32)
-        rows.append(("s0", f"g{g:02d}", toks, GIANT_LEN))
-    order = rng.permutation(len(rows))
-    pdf = pd.DataFrame([rows[i] for i in order],
-                       columns=["source", "doc_id", "tokens", "n_tok"])
-    spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+        ids.append(f"g{g:02d}")
+        lens.append(GIANT_LEN)
+    order = rng.permutation(len(ids))
+    ids = [ids[i] for i in order]
+    lens = np.asarray([lens[i] for i in order], dtype=np.int64)
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = np.empty(offs[-1], dtype=np.int32)
+    for i, (s, ln) in enumerate(zip(offs[:-1], lens)):
+        flat[s:s + ln] = ((np.arange(ln, dtype=np.int64) * 2654435761 + i)
+                          % 50000).astype(np.int32)
+    tokens = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                      pa.array(flat))
+    tbl = pa.table({
+        "source": pa.array(["s0"] * len(ids)),
+        "doc_id": pa.array(ids),
+        "tokens": tokens,
+        "n_tok": pa.array(lens.astype(np.int32)),
+    })
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(tbl, f"{path}/part-0.parquet")
 
 
 def partition_masses(df) -> list[int]:
