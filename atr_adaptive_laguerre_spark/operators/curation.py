@@ -24,13 +24,27 @@ MIN_TOKENS = 20
 MIN_QUALITY = 0.38
 
 
+def curation_report(docs: DataFrame, min_tokens: int = MIN_TOKENS,
+                    min_quality: float = MIN_QUALITY) -> DataFrame:
+    """Parameterized curation decision per doc -> per-(source,
+    lang_guess) report: docs kept = not an exact duplicate (canonical
+    doc of its content group survives) AND token_count >= min_tokens
+    AND quality_score >= min_quality.  Emits doc counts, kept counts,
+    kept token mass, and the retention ratio.  The module-level defaults
+    are calibrated to the synthetic corpus (median-ish quality cut); a
+    production pipeline passes its own thresholds — or derives
+    min_quality from a quantile of a sample."""
+    return _curation_report(docs, min_tokens, min_quality)
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Curation decision per doc -> per-(source, lang_guess) report:
-    docs kept = not an exact duplicate (canonical doc of its content
-    group survives) AND token_count >= MIN_TOKENS AND quality_score >=
-    MIN_QUALITY.  Emits doc counts, kept counts, kept token mass, and
-    the retention ratio."""
+    """Catalog entry: :func:`curation_report` at the module defaults."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curation_report(docs)
+
+
+def _curation_report(docs: DataFrame, min_tokens: int,
+                     min_quality: float) -> DataFrame:
     w = words_col()
     n = F.size(w)
     stop_ratio, _ttr, quality = quality_cols(w)
@@ -50,8 +64,8 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = scored.withColumn(
         "keep",
         ((F.col("doc_id") == F.min("doc_id").over(cw))
-         & (F.col("token_count") >= MIN_TOKENS)
-         & (F.col("quality_score") >= MIN_QUALITY)).cast("int"))
+         & (F.col("token_count") >= min_tokens)
+         & (F.col("quality_score") >= min_quality)).cast("int"))
     return (flagged.groupBy("source", "lang_guess")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("keep").alias("n_kept"),

@@ -129,3 +129,32 @@ def test_jaccard_plan_has_no_allpairs_shingle_join(spark):
                     or "bucket" in line), line
             # the quadratic shape would join on the raw shingle value
             assert "[s#" not in line.replace("doc_id", ""), line
+
+
+def test_ic_sweep_two_exchanges_one_expand(spark):
+    """feature_ic_sweep's 100 TB shape: ONE exchange on doc_id shared by
+    the close-cumsum and forward-return windows, ONE Expand (the 121-way
+    unpivot), ONE exchange on feature shared by BOTH rank windows and
+    the final aggregate — and no join of any kind."""
+    from atr_adaptive_laguerre_spark.queries import q_feature_ic_sweep
+
+    plan = _plan(q_feature_ic_sweep(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Expand") == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_curation_neardup_broadcasts_drop_set(spark):
+    """The near-dup drop set (non-canonical cluster members — a tiny
+    fraction of the corpus) must reach the curation decision as a
+    BROADCAST join, never a shuffled one, and nothing may go cartesian."""
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        q_corpus_curation_neardup,
+    )
+
+    plan = _plan(q_corpus_curation_neardup(spark, SF))
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "nd_drop" in line and "Join" in line:
+            assert "BroadcastHashJoin" in line, line

@@ -86,6 +86,51 @@ def test_entity121_stream_chunked_parity(chunks):
         assert ok.all(), (col, int((~ok).sum()))
 
 
+def test_entity121_stream_second_config_parity():
+    """Chunked parity also at a non-default config (mults 2/8, atr 10,
+    levels .8/.2 — no constant may hide in the streaming path)."""
+    from atr_adaptive_laguerre_spark.engine.features_job import (
+        feature_columns_for,
+    )
+    from atr_adaptive_laguerre_spark.streaming.multi_interval_incremental import (
+        Entity121Stream,
+    )
+
+    cfg = FeatureConfig.multi_interval(
+        multiplier_1=2, multiplier_2=8, atr_period=10,
+        level_up=0.8, level_down=0.2, adaptive_offset=0.6,
+        velocity_span=4, stats_window=15, availability=True)
+    n = 160
+    h, l, c, av = _series(33, n)
+    want = _batch(h, l, c, av, cfg)
+    feat_cols = feature_columns_for(cfg)
+
+    ent = Entity121Stream(cfg)
+    got_offs, got = [], {col: [] for col in feat_cols}
+    pos = 0
+    for k in [13, 1, 50, 2, 94]:
+        sl = slice(pos, pos + k)
+        res = ent.advance(np.arange(pos, pos + k, dtype=np.int64),
+                          h[sl], l[sl], c[sl], av[sl])
+        pos += k
+        if res is None:
+            continue
+        o, cols = res
+        got_offs.extend(o.tolist())
+        for col in feat_cols:
+            got[col].extend(cols[col].tolist())
+
+    lm1, lm2 = n // 2, n // 8
+    av_cap = min(av[lm1 * 2 - 1], av[lm2 * 8 - 1])
+    exp_hi = int(np.searchsorted(av, av_cap, side="right"))
+    assert got_offs == list(range(exp_hi))
+    for col in feat_cols:
+        a = np.asarray(got[col])
+        b = want[col][:exp_hi]
+        ok = (a == b) | (np.isnan(a) & np.isnan(b))
+        assert ok.all(), (col, int((~ok).sum()))
+
+
 def test_entity121_stream_state_is_bounded():
     """The whole point vs the recompute variant: packed state size must
     NOT grow with stream length (O(1) in bars; the recompute variant's
