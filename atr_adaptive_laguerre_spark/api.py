@@ -78,15 +78,11 @@ class ATRAdaptiveLaguerreRSI:
         """Minimum bars per entity for a fully-warmed feature row —
         the reference's ``min_lookback`` rule (atr_adaptive_rsi.py:456-488,
         enforced at :814): base = max(atr_period, smoothing_period,
-        stats_window) + 10; multi-interval multiplies the WHOLE padded
-        base by max(multiplier_1, multiplier_2) so the coarse grain gets
-        its warm-up pad too (360 at defaults)."""
-        cfg = self.config
-        base = (max(cfg.atr_period, cfg.smoothing_period, cfg.stats_window)
-                + LOOKBACK_PAD)
-        if cfg.is_multi_interval:
-            return base * max(cfg.multiplier_1, cfg.multiplier_2)
-        return base
+        20) + 10; multi-interval multiplies the WHOLE padded base by
+        max(multiplier_1, multiplier_2) so the coarse grain gets its
+        warm-up pad too (360 at defaults).  Delegates to
+        ``FeatureConfig.min_lookback`` — one source of truth."""
+        return self.config.min_lookback
 
     def validate_lookback(self, df: DataFrame) -> None:
         """Raise if any entity is shorter than the lookback — the

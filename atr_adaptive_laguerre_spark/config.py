@@ -93,9 +93,14 @@ class FeatureConfig:
         """Minimum rows for a stable single-interval run.
 
         Reference: ``atr_adaptive_rsi.py:341-345,477-481`` —
-        ``max(atr_period, smoothing_period, 20) + 10``.
+        ``max(atr_period, smoothing_period, 20) + 10``.  The reference
+        hardcodes the 20 (its stats window is not configurable); this
+        engine additionally folds in ``stats_window`` so a LARGER
+        configured window still gets a full warm-up — identical to the
+        reference whenever stats_window <= 20 (including the default).
         """
-        return max(self.atr_period, self.smoothing_period, 20) + 10
+        return max(self.atr_period, self.smoothing_period,
+                   self.stats_window, 20) + 10
 
     @property
     def min_lookback(self) -> int:

@@ -424,14 +424,227 @@ ORDER BY doc_id
 """
 
 
+def box_downsample2(img: np.ndarray) -> np.ndarray:
+    """2x box-filter image resize: each output pixel is the mean of a
+    2x2 input block (odd trailing row/col cropped).  Exact integer block
+    sums, one float division — engine-portable."""
+    h, w, _ = img.shape
+    h2, w2 = h // 2, w // 2
+    a = img[:h2 * 2, :w2 * 2].astype(np.int64).reshape(h2, 2, w2, 2, 3)
+    return a.sum(axis=(1, 3)) / 4.0
+
+
+def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE pipeline plumbing: decode the real P6 payload, 2x
+    box-downsample it, emit resized dims + the corner block's RGB + the
+    resized global mean.  The corner values pin the BLOCK structure (a
+    wrong stride or axis order changes them), not just aggregate mass;
+    the DuckDB twin recomputes both from the pixel formula.  Docs too
+    short for 2 pixel rows (<= 48 bytes) are excluded on both sides."""
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs = [], [], []
+            c_r, c_g, c_b, mean_all = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if len(text) <= IMG_W * 3:
+                    continue
+                img = decode_ppm(encode_ppm(_text_to_image(text)))
+                rz = box_downsample2(img)
+                h2, w2, _ = rz.shape
+                ids.append(doc_id)
+                ws.append(w2)
+                hs.append(h2)
+                c_r.append(rz[0, 0, 0])
+                c_g.append(rz[0, 0, 1])
+                c_b.append(rz[0, 0, 2])
+                crop = img[:h2 * 2, :w2 * 2].astype(np.int64)
+                mean_all.append(int(crop.sum()) / (h2 * 2 * w2 * 2 * 3))
+            yield pd.DataFrame({"doc_id": ids, "width_r": ws,
+                                "height_r": hs, "corner_r": c_r,
+                                "corner_g": c_g, "corner_b": c_b,
+                                "resized_mean": mean_all})
+
+    feats = docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id bigint, width_r int, height_r int, "
+                    "corner_r double, corner_g double, corner_b double, "
+                    "resized_mean double")
+    return (feats.select("doc_id", "width_r", "height_r",
+                         _r6(F.col("corner_r")).alias("corner_r"),
+                         _r6(F.col("corner_g")).alias("corner_g"),
+                         _r6(F.col("corner_b")).alias("corner_b"),
+                         _r6(F.col("resized_mean")).alias("resized_mean"))
+            .orderBy("doc_id"))
+
+
+ORACLE_MULTIMODAL_IMAGE_RESIZE = f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n,
+         CAST(CEIL(length(text)::DOUBLE / {IMG_W * 3}) AS BIGINT) AS h
+  FROM documents WHERE length(text) > {IMG_W * 3}
+), pxi AS (
+  SELECT doc_id, text, n, h, h // 2 AS h2,
+         unnest(range(h * {IMG_W * 3})) AS i
+  FROM d
+), px AS (
+  SELECT doc_id, h2, i,
+         (unicode(substr(text, CAST(i % n AS INT) + 1, 1)) * 131 + i)
+           % 256 AS v,
+         i // {IMG_W * 3} AS row, (i % {IMG_W * 3}) // 3 AS col,
+         i % 3 AS ch
+  FROM pxi
+)
+SELECT doc_id,
+       CAST({IMG_W // 2} AS INT) AS width_r,
+       CAST(h2 AS INT) AS height_r,
+       FLOOR((SUM(CASE WHEN row < 2 AND col < 2 AND ch = 0 THEN v END)
+              ::DOUBLE / 4) * 1000000 + 0.5) / 1000000 AS corner_r,
+       FLOOR((SUM(CASE WHEN row < 2 AND col < 2 AND ch = 1 THEN v END)
+              ::DOUBLE / 4) * 1000000 + 0.5) / 1000000 AS corner_g,
+       FLOOR((SUM(CASE WHEN row < 2 AND col < 2 AND ch = 2 THEN v END)
+              ::DOUBLE / 4) * 1000000 + 0.5) / 1000000 AS corner_b,
+       FLOOR((SUM(CASE WHEN row < h2 * 2 THEN v END)::DOUBLE
+              / (h2 * 2 * {IMG_W} * 3)) * 1000000 + 0.5) / 1000000
+         AS resized_mean
+FROM px
+GROUP BY doc_id, h2
+ORDER BY doc_id
+"""
+
+
+N_FRAMES = 4
+FRAME_STRIDE = 2
+
+
+def _text_to_frame(text: str, f: int) -> np.ndarray:
+    """Frame f of the synthetic video: pixel byte i =
+    (byte[i mod n] * 131 + i + f * 17) % 256 (frame 0 == the image)."""
+    codes = np.frombuffer(text.encode("utf-8"), dtype=np.uint8) \
+        .astype(np.int64)
+    n = len(codes)
+    h = max(1, -(-n // (IMG_W * 3)))
+    i = np.arange(h * IMG_W * 3, dtype=np.int64)
+    v = ((codes[i % n] * 131 + i + f * 17) % 256).astype(np.uint8)
+    return v.reshape(h, IMG_W, 3)
+
+
+def split_ppm_frames(b: bytes) -> list[np.ndarray]:
+    """Parse a concatenation of binary P6 frames (the crude-but-real
+    video container: PPM headers are self-delimiting)."""
+    frames = []
+    pos = 0
+    while pos < len(b):
+        if b[pos:pos + 2] != b"P6":
+            raise ValueError(f"bad frame header at {pos}")
+        fields, p = [], pos + 2
+        while len(fields) < 3:
+            while b[p:p + 1].isspace():
+                p += 1
+            if b[p:p + 1] == b"#":
+                while b[p:p + 1] != b"\n":
+                    p += 1
+                continue
+            start = p
+            while p < len(b) and not b[p:p + 1].isspace():
+                p += 1
+            fields.append(int(b[start:p]))
+        p += 1
+        w, h, maxval = fields
+        if maxval != 255:
+            raise ValueError(f"unsupported maxval {maxval}")
+        end = p + w * h * 3
+        frames.append(np.frombuffer(b, dtype=np.uint8, count=w * h * 3,
+                                    offset=p).reshape(h, w, 3))
+        pos = end
+    return frames
+
+
+def q_multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video FRAME-SAMPLE pipeline plumbing: synthesize a real 4-frame
+    P6 video payload per doc, parse the container back into frames,
+    sample every FRAME_STRIDE-th frame, and emit per-sampled-frame mean
+    brightness (exact integer sums).  The DuckDB twin recomputes the
+    sampled frames' means from the pixel formula — a container-parse or
+    sampling bug on the Spark side breaks the hash."""
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nf, ns, m0, m2 = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if len(text) == 0:
+                    continue
+                video = b"".join(
+                    encode_ppm(_text_to_frame(text, f))
+                    for f in range(N_FRAMES))
+                frames = split_ppm_frames(video)     # the real parse path
+                assert len(frames) == N_FRAMES
+                sampled = frames[::FRAME_STRIDE]
+                means = [int(fr.astype(np.int64).sum()) / fr.size
+                         for fr in sampled]
+                ids.append(doc_id)
+                nf.append(len(frames))
+                ns.append(len(sampled))
+                m0.append(means[0])
+                m2.append(means[1])
+            yield pd.DataFrame({"doc_id": ids, "n_frames": nf,
+                                "n_sampled": ns, "mean_f0": m0,
+                                "mean_f2": m2})
+
+    feats = docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id bigint, n_frames int, n_sampled int, "
+                    "mean_f0 double, mean_f2 double")
+    return (feats.select("doc_id", "n_frames", "n_sampled",
+                         _r6(F.col("mean_f0")).alias("mean_f0"),
+                         _r6(F.col("mean_f2")).alias("mean_f2"))
+            .orderBy("doc_id"))
+
+
+ORACLE_MULTIMODAL_VIDEO_STATS = f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n,
+         CAST(CEIL(length(text)::DOUBLE / {IMG_W * 3}) AS BIGINT) AS h
+  FROM documents WHERE length(text) > 0
+), pxi AS (
+  SELECT doc_id, text, n, h, unnest(range(h * {IMG_W * 3})) AS i FROM d
+), px AS (
+  SELECT doc_id, h,
+         (unicode(substr(text, CAST(i % n AS INT) + 1, 1)) * 131 + i)
+           % 256 AS v0,
+         (unicode(substr(text, CAST(i % n AS INT) + 1, 1)) * 131 + i
+          + {2 * 17}) % 256 AS v2
+  FROM pxi
+)
+SELECT doc_id,
+       CAST({N_FRAMES} AS INT) AS n_frames,
+       CAST({N_FRAMES // FRAME_STRIDE} AS INT) AS n_sampled,
+       FLOOR((SUM(v0)::DOUBLE / (h * {IMG_W * 3}))
+             * 1000000 + 0.5) / 1000000 AS mean_f0,
+       FLOOR((SUM(v2)::DOUBLE / (h * {IMG_W * 3}))
+             * 1000000 + 0.5) / 1000000 AS mean_f2
+FROM px
+GROUP BY doc_id, h
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "multimodal_byte_stats": q_multimodal_byte_stats,
     "multimodal_audio_stats": q_multimodal_audio_stats,
     "multimodal_image_stats": q_multimodal_image_stats,
+    "multimodal_image_resize": q_multimodal_image_resize,
+    "multimodal_video_stats": q_multimodal_video_stats,
 }
 
 ORACLES = {
     "multimodal_byte_stats": ORACLE_MULTIMODAL_BYTE_STATS,
     "multimodal_audio_stats": ORACLE_MULTIMODAL_AUDIO_STATS,
     "multimodal_image_stats": ORACLE_MULTIMODAL_IMAGE_STATS,
+    "multimodal_image_resize": ORACLE_MULTIMODAL_IMAGE_RESIZE,
+    "multimodal_video_stats": ORACLE_MULTIMODAL_VIDEO_STATS,
 }

@@ -472,12 +472,88 @@ ORDER BY vec_a, vec_b
 """
 
 
+def q_dedup_embedding_canonicalize(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Embedding near-dup canonicalization: the verified cosine pairs
+    -> connected components (min-label propagation, shared with the
+    text path's ``dedup_canonicalize``) -> one canonical (minimum
+    vec_id) per cluster.  DuckDB twin: recursive-CTE transitive closure
+    over the same pair list."""
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        connected_components,
+    )
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    emb = emb.withColumn("nrm", _norm(F.col("v")))
+    cand = _dup_candidate_pairs(emb)
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                    F.col("nrm").alias("na"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                    F.col("nrm").alias("nb"))
+    pairs = (cand.join(va, "vec_a").join(vb, "vec_b")
+             .select("vec_a", "vec_b",
+                     _r6(_cosine(F.col("va"), F.col("vb"),
+                                 F.col("na"), F.col("nb"))).alias("cs"))
+             .filter(F.col("cs") >= DUP_COS_THRESHOLD)
+             .select("vec_a", "vec_b"))
+    comp = connected_components(pairs, a="vec_a", b="vec_b")
+    w = Window.partitionBy("comp")
+    return (comp.select(
+        F.col("id").alias("vec_id"),
+        F.col("comp").alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("id") == F.col("comp")).cast("int").alias("is_canonical"))
+        .orderBy("vec_id"))
+
+
+ORACLE_DEDUP_EMBEDDING_CANONICALIZE = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), bb AS (
+{_dup_band_selects()}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bb a JOIN bb b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), vpairs AS (
+  SELECT vec_a, vec_b
+  FROM cand
+  JOIN e ea ON ea.vec_id = vec_a
+  JOIN e eb ON eb.vec_id = vec_b
+  WHERE {_COS_SQL.format(a='ea.v', b='eb.v')} >= {DUP_COS_THRESHOLD}
+), edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM vpairs
+  UNION
+  SELECT vec_b, vec_a FROM vpairs
+),
+reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT eg.a AS id, reach.r AS r
+  FROM edges eg JOIN reach ON eg.b = reach.id
+),
+comp AS (
+  SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id
+),
+sizes AS (
+  SELECT canonical_id, COUNT(*) AS cluster_size FROM comp
+  GROUP BY canonical_id
+)
+SELECT id AS vec_id, canonical_id, cluster_size,
+       CAST(id = canonical_id AS INT) AS is_canonical
+FROM comp JOIN sizes USING (canonical_id)
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "ann_topk_cosine": q_ann_topk_cosine,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_centroids": q_embedding_centroids,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_canonicalize": q_dedup_embedding_canonicalize,
 }
 
 ORACLES = {
@@ -486,4 +562,5 @@ ORACLES = {
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
+    "dedup_embedding_canonicalize": ORACLE_DEDUP_EMBEDDING_CANONICALIZE,
 }

@@ -40,6 +40,30 @@ def test_byte_features_and_media_decode():
         decode_media(b"\x89PNG", "image/png")
 
 
+def test_resize_and_frame_split_primitives():
+    """box_downsample2 equals a naive per-block loop (odd rows cropped)
+    and split_ppm_frames round-trips a multi-frame P6 concatenation."""
+    from atr_adaptive_laguerre_spark.operators.multimodal import (
+        box_downsample2, encode_ppm, split_ppm_frames,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (5, 6, 3)).astype(np.uint8)
+    rz = box_downsample2(img)
+    assert rz.shape == (2, 3, 3)
+    for r in range(2):
+        for c in range(3):
+            for ch in range(3):
+                block = img[2 * r:2 * r + 2, 2 * c:2 * c + 2, ch]
+                assert rz[r, c, ch] == block.astype(np.int64).sum() / 4.0
+
+    f1 = rng.integers(0, 256, (4, 5, 3)).astype(np.uint8)
+    f2 = rng.integers(0, 256, (2, 7, 3)).astype(np.uint8)
+    frames = split_ppm_frames(encode_ppm(f1) + encode_ppm(f2))
+    assert len(frames) == 2
+    assert (frames[0] == f1).all() and (frames[1] == f2).all()
+
+
 def test_vectorized_featurizers_match_per_row_reference():
     """The batch-vectorized byte/audio feature math must equal a naive
     per-row loop on adversarial layouts: empty rows at the front, middle
@@ -141,6 +165,49 @@ def test_connected_components_known_graph(spark):
             for r in connected_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
                     10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_property_vs_union_find(spark):
+    """Property check on random graphs: min-label propagation must equal
+    an independent union-find on every sampled edge list (chains force
+    multi-round convergence; duplicate and self-referencing-free)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edge = st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+        lambda e: e[0] != e[1])
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(edge, min_size=1, max_size=25))
+    def check(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+
+        pairs = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges],
+            "doc_a bigint, doc_b bigint")
+        got = {r["id"]: r["comp"]
+               for r in connected_components(pairs).collect()}
+        assert got == want, (edges, got, want)
+
+    check()
 
 
 def test_canonicalize_consistent_with_pairs(spark):
