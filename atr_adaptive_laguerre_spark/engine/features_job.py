@@ -106,12 +106,26 @@ def _chunk_feature_cols(mat, lens, cfg: FeatureConfig, pool=None):
     return single_interval_long(high, low, close, lens, cfg, pool=pool)
 
 
+def _require_no_null_tokens_pandas(pdf: pd.DataFrame) -> None:
+    """A NULL tokens array is a contract violation (empty docs must be
+    [], not NULL) — fail loud with the doc named instead of letting
+    numpy throw an opaque conversion error deep in the kernel."""
+    null_mask = pdf["tokens"].isna()
+    if null_mask.any():
+        bad = pdf["doc_id"][null_mask].iloc[0]
+        raise ValueError(
+            f"null tokens array for doc_id {bad!r} "
+            f"({int(null_mask.sum())} such rows in this batch); "
+            f"empty documents must carry [] not NULL")
+
+
 def _kernel_on_docs(pdf: pd.DataFrame, cfg: FeatureConfig,
                     long_form: bool, cell_budget: int = CELL_BUDGET,
                     ) -> Iterator[pd.DataFrame]:
     """Run the batched kernel over a pandas batch of doc rows."""
     if len(pdf) == 0:
         return
+    _require_no_null_tokens_pandas(pdf)
     toks = [np.asarray(t, dtype=np.int32) for t in pdf["tokens"]]
     lengths = np.fromiter((len(t) for t in toks), dtype=np.int64,
                           count=len(toks))
@@ -264,6 +278,7 @@ def _features_on_docs(pdf: pd.DataFrame, cfg: FeatureConfig,
     """Full feature pipeline (43 or 169/121 cols) over a doc batch."""
     if len(pdf) == 0:
         return
+    _require_no_null_tokens_pandas(pdf)
     toks = [np.asarray(t, dtype=np.int32) for t in pdf["tokens"]]
     lengths = np.fromiter((len(t) for t in toks), dtype=np.int64,
                           count=len(toks))
@@ -294,6 +309,13 @@ def _arrow_doc_chunks(rb, cell_budget: int = CELL_BUDGET):
     import pyarrow.compute as pc
 
     tokens = rb.column(rb.schema.get_field_index("tokens"))
+    if tokens.null_count:
+        dids = rb.column(rb.schema.get_field_index("doc_id"))
+        i = pc.index(pc.is_null(tokens), True).as_py()
+        raise ValueError(
+            f"null tokens array for doc_id {dids[i].as_py()!r} "
+            f"({tokens.null_count} such rows in this batch); "
+            f"empty documents must carry [] not NULL")
     lengths = pc.list_value_length(tokens).to_numpy().astype(np.int64)
     flat = tokens.flatten().to_numpy(zero_copy_only=False)
     starts = np.zeros(len(lengths) + 1, dtype=np.int64)

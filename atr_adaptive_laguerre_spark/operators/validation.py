@@ -39,8 +39,15 @@ def _information_coefficient(spark: SparkSession, sf_dir: str,
             f"return_type must be 'log' or 'simple', got {return_type!r}")
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ratio = F.lead("value", FORWARD_K).over(w) / F.col("value")
-    fwd = F.log(ratio) if return_type == "log" else ratio - F.lit(1.0)
+    lead = F.lead("value", FORWARD_K).over(w)
+    # price-domain guard (reference domain is strictly positive prices;
+    # the events table contains zeros at larger SFs): non-positive
+    # endpoints make the return undefined -> NULL -> pairwise drop.
+    # The CASE also keeps ANSI mode from raising DIVIDE_BY_ZERO.
+    ratio = lead / F.col("value")
+    fwd = F.when((F.col("value") > F.lit(0.0)) & (lead > F.lit(0.0)),
+                 F.log(ratio) if return_type == "log"
+                 else ratio - F.lit(1.0))
     base = (ev.select("event_id", "event_type", "value", fwd.alias("fwd"))
             .filter(F.col("fwd").isNotNull()))
     wr = Window.partitionBy("event_type")
@@ -98,14 +105,15 @@ ORDER BY event_type
 
 _LEAD = (f"LEAD(value, {FORWARD_K}) OVER (PARTITION BY user_id "
          f"ORDER BY ts, event_id)")
+_POS_GUARD = f"value > 0 AND {_LEAD} > 0"
 ORACLE_INFORMATION_COEFFICIENT_SIMPLE = _oracle_ic(
-    f"{_LEAD} / value - 1.0::DOUBLE")
+    f"CASE WHEN {_POS_GUARD} THEN {_LEAD} / value - 1.0::DOUBLE END")
 
 ORACLE_INFORMATION_COEFFICIENT = f"""
 WITH base AS (
   SELECT event_id, event_type, value,
-         LN(LEAD(value, {FORWARD_K}) OVER (PARTITION BY user_id
-                                           ORDER BY ts, event_id) / value) AS fwd
+         CASE WHEN {_POS_GUARD}
+              THEN LN({_LEAD} / value) END AS fwd
   FROM events
 ), nn AS (
   SELECT * FROM base WHERE fwd IS NOT NULL
@@ -191,7 +199,10 @@ def q_ood_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     w20 = w.rowsBetween(-19, 0)
     n_prev = F.count(F.lit(1)).over(w20)
     vol = F.stddev_samp("value").over(w20)
-    fwd = F.log(F.lead("value", FORWARD_K).over(w) / F.col("value"))
+    lead = F.lead("value", FORWARD_K).over(w)
+    # same positivity guard as the IC queries (zeros exist at larger SFs)
+    fwd = F.when((F.col("value") > F.lit(0.0)) & (lead > F.lit(0.0)),
+                 F.log(lead / F.col("value")))
     base = (ev.select("event_id", "user_id", "event_type", "value",
                       fwd.alias("fwd"), vol.alias("vol"),
                       n_prev.alias("n_win"))
@@ -238,7 +249,8 @@ def q_ood_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_OOD_ROBUSTNESS = f"""
 WITH base AS (
   SELECT event_id, user_id, event_type, value,
-         LN(LEAD(value, {FORWARD_K}) OVER w / value) AS fwd,
+         CASE WHEN value > 0 AND LEAD(value, {FORWARD_K}) OVER w > 0
+              THEN LN(LEAD(value, {FORWARD_K}) OVER w / value) END AS fwd,
          STDDEV_SAMP(value) OVER
            (PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vol,

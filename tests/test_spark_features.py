@@ -280,3 +280,23 @@ def test_empty_token_docs_are_skipped(spark):
     core_doc = core_features_doc(df, FeatureConfig(atr_period=14)).toPandas()
     assert len(core_doc) == 43
     assert (core_doc["n_tok"] == 0).sum() == 40
+
+
+def test_null_tokens_fail_loud(spark):
+    """A NULL tokens array (vs []) is a contract violation: both kernel
+    paths must raise a named ValueError, not an opaque numpy conversion
+    error deep in the worker."""
+    import pandas as pd
+    import pytest
+
+    from atr_adaptive_laguerre_spark.engine.features_job import (
+        core_features_long,
+    )
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "source": ["s0", "s0"], "doc_id": ["ok", "badnull"],
+        "tokens": [[1, 2, 3] * 20, None], "n_tok": [60, 0]}))
+    with pytest.raises(Exception, match="null tokens array.*badnull"):
+        features_long(df, CFG43).toPandas()
+    with pytest.raises(Exception, match="null tokens array.*badnull"):
+        core_features_long(df, FeatureConfig(atr_period=14)).toPandas()
