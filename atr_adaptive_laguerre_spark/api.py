@@ -33,9 +33,6 @@ from pyspark.sql import DataFrame, functions as F
 
 from atr_adaptive_laguerre_spark.config import FeatureConfig
 
-#: reference lookback rule (atr_adaptive_rsi.py:338-354)
-LOOKBACK_PAD = 10
-
 
 class RSIUpdater:
     """O(1)-per-bar incremental RSI for ONE entity — the reference's

@@ -136,11 +136,24 @@ def run_resumable(spark: SparkSession, doc_df: DataFrame,
                           F.expr("bit_xor(dh)").alias("fp")))
         stats = {r["bucket"]: r for r in doc_stats.collect()}
         # measured output rows per bucket: metadata-only parquet count
-        # over exactly this wave's partition directories
-        written = (spark.read.parquet(output_dir)
-                   .filter(F.col("bucket").isin([int(b) for b in wave]))
-                   .groupBy("bucket").count().collect())
-        n_written = {r["bucket"]: int(r["count"]) for r in written}
+        # reading ONLY this wave's bucket directories — a read of
+        # output_dir would partition-discover the whole committed tree
+        # every wave (O(total files) listing, quadratic over a run)
+        from pyspark.errors import AnalysisException
+
+        n_written: dict[int, int] = {}
+        for b in wave:
+            try:
+                n_written[int(b)] = spark.read.parquet(
+                    f"{output_dir}/bucket={int(b)}").count()
+            except AnalysisException as e:
+                get_cls = (getattr(e, "getCondition", None)
+                           or getattr(e, "getErrorClass", lambda: None))
+                cls = get_cls() or ""
+                if "PATH_NOT_FOUND" in cls or "PATH_NOT_FOUND" in str(e):
+                    n_written[int(b)] = 0     # empty bucket: no dir written
+                else:
+                    raise
         now = time.time()
         rows = []
         for b in wave:

@@ -26,21 +26,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def is_table_ref(ref: str) -> bool:
-    """A catalog table reference, not a filesystem path.
-
-    Path-like signals beat the table heuristic: a separator, a
-    ``.parquet`` suffix, a URI scheme (``file:/``, ``s3a://``, ...), or
-    a name that actually exists on the local filesystem — otherwise a
-    bare relative directory ('corpus_dir') would be routed to
-    ``spark.read.table`` and fail with a confusing table-not-found."""
-    import os
+    """Syntactically a catalog table reference (not path-like): no
+    separator, no ``.parquet`` suffix, no URI scheme.  Ambiguous bare
+    names ('events') are resolved by :func:`read_sequences` — catalog
+    registration wins, local filesystem is the fallback — so the answer
+    never depends on the driver's working directory when the catalog
+    actually knows the name."""
     import re
 
     if "/" in ref or "\\" in ref or ref.endswith(".parquet"):
         return False
     if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", ref):   # URI scheme
-        return False
-    if os.path.exists(ref):
         return False
     return True
 
@@ -50,8 +46,18 @@ def read_sequences(spark: SparkSession, ref: str,
                    as_of_timestamp_ms: int | None = None) -> DataFrame:
     """Resolve the sequence table from a catalog reference or a parquet
     path.  Snapshot pins apply only to table refs (Iceberg reader
-    options); passing one with a path is an error, not a silent no-op."""
-    if is_table_ref(ref):
+    options); passing one with a path is an error, not a silent no-op.
+
+    Ambiguity rule for bare names: a name the CATALOG knows is always a
+    table (a stray ./events directory in the driver's CWD cannot hijack
+    a registered table); a syntactic table ref the catalog does NOT
+    know falls back to a local filesystem path if one exists (ADVICE
+    r2: bare relative directories would otherwise fail with a
+    confusing table-not-found)."""
+    import os
+
+    if is_table_ref(ref) and (spark.catalog.tableExists(ref)
+                              or not os.path.exists(ref)):
         reader = spark.read
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", snapshot_id)

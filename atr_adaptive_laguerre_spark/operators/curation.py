@@ -25,26 +25,18 @@ MIN_QUALITY = 0.38
 
 
 def curation_report(docs: DataFrame, min_tokens: int = MIN_TOKENS,
-                    min_quality: float = MIN_QUALITY) -> DataFrame:
+                    min_quality: float = MIN_QUALITY,
+                    near_dup_drops: DataFrame | None = None) -> DataFrame:
     """Parameterized curation decision per doc -> per-(source,
     lang_guess) report: docs kept = not an exact duplicate (canonical
     doc of its content group survives) AND token_count >= min_tokens
-    AND quality_score >= min_quality.  Emits doc counts, kept counts,
-    kept token mass, and the retention ratio.  The module-level defaults
-    are calibrated to the synthetic corpus (median-ish quality cut); a
-    production pipeline passes its own thresholds — or derives
-    min_quality from a quantile of a sample."""
-    return _curation_report(docs, min_tokens, min_quality)
-
-
-def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Catalog entry: :func:`curation_report` at the module defaults."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return curation_report(docs)
-
-
-def _curation_report(docs: DataFrame, min_tokens: int,
-                     min_quality: float) -> DataFrame:
+    AND quality_score >= min_quality AND (when ``near_dup_drops`` is
+    given: not in that drop set — e.g. the non-canonical near-dup
+    cluster members from ``dedup.connected_components``).  Emits doc
+    counts, kept counts, kept token mass, and the retention ratio.
+    The module-level defaults are calibrated to the synthetic corpus
+    (median-ish quality cut); a production pipeline passes its own
+    thresholds — or derives min_quality from a quantile of a sample."""
     w = words_col()
     n = F.size(w)
     stop_ratio, _ttr, quality = quality_cols(w)
@@ -60,12 +52,16 @@ def _curation_report(docs: DataFrame, min_tokens: int,
         quality.alias("quality_score"),
         guess.alias("lang_guess"),
         F.md5(norm).alias("chash"))
+    keep = ((F.col("token_count") >= min_tokens)
+            & (F.col("quality_score") >= min_quality))
+    if near_dup_drops is not None:
+        nd = near_dup_drops.select("doc_id", F.lit(1).alias("nd_drop"))
+        scored = scored.join(F.broadcast(nd), "doc_id", "left")
+        keep = keep & F.col("nd_drop").isNull()
     cw = Window.partitionBy("chash")
     flagged = scored.withColumn(
         "keep",
-        ((F.col("doc_id") == F.min("doc_id").over(cw))
-         & (F.col("token_count") >= min_tokens)
-         & (F.col("quality_score") >= min_quality)).cast("int"))
+        ((F.col("doc_id") == F.min("doc_id").over(cw)) & keep).cast("int"))
     return (flagged.groupBy("source", "lang_guess")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("keep").alias("n_kept"),
@@ -74,6 +70,12 @@ def _curation_report(docs: DataFrame, min_tokens: int,
                  _r6(F.sum("keep").cast("double") / F.count(F.lit(1)))
                  .alias("kept_ratio"))
             .orderBy("source", "lang_guess"))
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry: :func:`curation_report` at the module defaults."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curation_report(docs)
 
 
 ORACLE_CORPUS_CURATION = f"""
@@ -130,41 +132,10 @@ def q_corpus_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    w = words_col()
-    n = F.size(w)
-    stop_ratio, _ttr, quality = quality_cols(w)
-    has_cjk = F.length(F.regexp_replace(F.col("text"),
-                                        r"[^一-鿿]", "")) > 0
-    guess = (F.when(has_cjk, "cjk")
-             .when(stop_ratio >= 0.05, "en")
-             .otherwise("other"))
-    norm = F.concat_ws(" ", w)
-    scored = docs.select(
-        "doc_id", "source",
-        n.alias("token_count"),
-        quality.alias("quality_score"),
-        guess.alias("lang_guess"),
-        F.md5(norm).alias("chash"))
     comp = connected_components(verified_jaccard_pairs(docs))
-    nd = comp.filter(F.col("id") != F.col("comp")) \
-             .select(F.col("id").alias("doc_id"),
-                     F.lit(1).alias("nd_drop"))
-    cw = Window.partitionBy("chash")
-    flagged = (scored.join(F.broadcast(nd), "doc_id", "left")
-               .withColumn(
-                   "keep",
-                   ((F.col("doc_id") == F.min("doc_id").over(cw))
-                    & F.col("nd_drop").isNull()
-                    & (F.col("token_count") >= MIN_TOKENS)
-                    & (F.col("quality_score") >= MIN_QUALITY)).cast("int")))
-    return (flagged.groupBy("source", "lang_guess")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("keep").alias("n_kept"),
-                 F.sum(F.col("keep") * F.col("token_count"))
-                 .alias("tokens_kept"),
-                 _r6(F.sum("keep").cast("double") / F.count(F.lit(1)))
-                 .alias("kept_ratio"))
-            .orderBy("source", "lang_guess"))
+    nd = (comp.filter(F.col("id") != F.col("comp"))
+          .select(F.col("id").alias("doc_id")))
+    return curation_report(docs, near_dup_drops=nd)
 
 
 def _oracle_corpus_curation_neardup() -> str:

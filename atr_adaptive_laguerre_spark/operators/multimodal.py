@@ -27,6 +27,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+#: The Spark featurizers derive payloads from UTF-8 BYTES (the right
+#: domain for binary media), while DuckDB string functions see CHARS /
+#: code points — identical only for ASCII.  The oracle-gated demo
+#: queries therefore restrict to byte==char documents on BOTH sides, so
+#: the gate stays honest on any corpus (a no-op on the current ASCII
+#: testdata) instead of silently relying on it.
+def _ascii_docs(docs: DataFrame) -> DataFrame:
+    return docs.filter(
+        F.octet_length(F.encode(F.col("text"), "UTF-8"))
+        == F.length(F.col("text")))
+
+
+ASCII_SQL = "octet_length(encode(text)) = length(text)"
+
+
 def _r6(col):
     return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 
@@ -189,7 +204,7 @@ def media_features(media_df: DataFrame) -> DataFrame:
 def q_multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: attach media payload + metadata, extract
     byte-level features via the Arrow batch featurizer."""
-    media = with_media_column(_docs(spark, sf_dir))
+    media = with_media_column(_ascii_docs(_docs(spark, sf_dir)))
     feats = media_features(media)
     return (feats.select("doc_id", "n_bytes",
                          _r6(F.col("mean_byte")).alias("mean_byte"),
@@ -203,7 +218,7 @@ ORACLE_MULTIMODAL_BYTE_STATS = """
 WITH chars AS (
   SELECT doc_id, octet_length(encode(text)) AS n_bytes,
          unnest(string_split(text, '')) AS ch
-  FROM documents
+  FROM documents WHERE octet_length(encode(text)) = length(text)
 )
 SELECT doc_id,
        MAX(n_bytes) AS n_bytes,
@@ -277,7 +292,7 @@ def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     one sqrt."""
     import pandas as pd
 
-    docs = _docs(spark, sf_dir)
+    docs = _ascii_docs(_docs(spark, sf_dir))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -308,7 +323,7 @@ WITH chars AS (
   SELECT doc_id,
          unnest(range(length(text))) AS i,
          unnest(string_split(text, '')) AS ch
-  FROM documents
+  FROM documents WHERE octet_length(encode(text)) = length(text)
 ), s AS (
   SELECT doc_id, i,
          ((unicode(ch)::BIGINT * 2654435761) % 65536) - 32768 AS smp
@@ -360,7 +375,7 @@ def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean is identical in both engines."""
     import pandas as pd
 
-    docs = _docs(spark, sf_dir)
+    docs = _ascii_docs(_docs(spark, sf_dir))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -401,6 +416,7 @@ WITH d AS (
   SELECT doc_id, text, length(text) AS n,
          CAST(CEIL(length(text)::DOUBLE / {IMG_W * 3}) AS BIGINT) AS h
   FROM documents WHERE length(text) > 0
+    AND octet_length(encode(text)) = length(text)
 ), pxi AS (
   SELECT doc_id, text, n, h, unnest(range(h * {IMG_W * 3})) AS i FROM d
 ), px AS (
@@ -443,7 +459,7 @@ def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     short for 2 pixel rows (<= 48 bytes) are excluded on both sides."""
     import pandas as pd
 
-    docs = _docs(spark, sf_dir)
+    docs = _ascii_docs(_docs(spark, sf_dir))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -485,6 +501,7 @@ WITH d AS (
   SELECT doc_id, text, length(text) AS n,
          CAST(CEIL(length(text)::DOUBLE / {IMG_W * 3}) AS BIGINT) AS h
   FROM documents WHERE length(text) > {IMG_W * 3}
+    AND octet_length(encode(text)) = length(text)
 ), pxi AS (
   SELECT doc_id, text, n, h, h // 2 AS h2,
          unnest(range(h * {IMG_W * 3})) AS i
@@ -541,10 +558,12 @@ def split_ppm_frames(b: bytes) -> list[np.ndarray]:
             raise ValueError(f"bad frame header at {pos}")
         fields, p = [], pos + 2
         while len(fields) < 3:
-            while b[p:p + 1].isspace():
+            while p < len(b) and b[p:p + 1].isspace():
                 p += 1
+            if p >= len(b):
+                raise ValueError(f"truncated frame header at {pos}")
             if b[p:p + 1] == b"#":
-                while b[p:p + 1] != b"\n":
+                while p < len(b) and b[p:p + 1] != b"\n":
                     p += 1
                 continue
             start = p
@@ -556,6 +575,8 @@ def split_ppm_frames(b: bytes) -> list[np.ndarray]:
         if maxval != 255:
             raise ValueError(f"unsupported maxval {maxval}")
         end = p + w * h * 3
+        if end > len(b):
+            raise ValueError(f"truncated frame data at {pos}")
         frames.append(np.frombuffer(b, dtype=np.uint8, count=w * h * 3,
                                     offset=p).reshape(h, w, 3))
         pos = end
@@ -571,7 +592,7 @@ def q_multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling bug on the Spark side breaks the hash."""
     import pandas as pd
 
-    docs = _docs(spark, sf_dir)
+    docs = _ascii_docs(_docs(spark, sf_dir))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -610,6 +631,7 @@ WITH d AS (
   SELECT doc_id, text, length(text) AS n,
          CAST(CEIL(length(text)::DOUBLE / {IMG_W * 3}) AS BIGINT) AS h
   FROM documents WHERE length(text) > 0
+    AND octet_length(encode(text)) = length(text)
 ), pxi AS (
   SELECT doc_id, text, n, h, unnest(range(h * {IMG_W * 3})) AS i FROM d
 ), px AS (

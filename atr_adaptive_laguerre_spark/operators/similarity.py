@@ -410,15 +410,12 @@ def _dup_candidate_pairs(emb: DataFrame) -> DataFrame:
             .distinct())
 
 
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: LSH-banded candidate
-    generation verified by exact cosine >= threshold (the embedding
-    analog of MinHash-LSH -> exact-Jaccard dedup; precision 1 by
-    construction, recall measured vs the all-pairs baseline in
-    tests/test_operators.py)."""
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    emb = emb.withColumn("nrm", _norm(F.col("v")))   # once per vector
+def verified_cosine_pairs(emb: DataFrame) -> DataFrame:
+    """Verified embedding near-dup pairs (vec_a < vec_b, r6-quantized
+    cos_sim >= threshold): LSH-banded candidate generation + exact
+    cosine — the ONE pair pipeline both the pair-list query and the
+    canonicalization build on (precision 1 by construction, recall
+    measured vs the all-pairs baseline in tests/test_operators.py)."""
     cand = _dup_candidate_pairs(emb)
     va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
                     F.col("nrm").alias("na"))
@@ -428,8 +425,17 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_a", "vec_b",
                     _r6(_cosine(F.col("va"), F.col("vb"),
                                 F.col("na"), F.col("nb"))).alias("cos_sim"))
-            .filter(F.col("cos_sim") >= DUP_COS_THRESHOLD)
-            .orderBy("vec_a", "vec_b"))
+            .filter(F.col("cos_sim") >= DUP_COS_THRESHOLD))
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the embedding analog of
+    MinHash-LSH -> exact-Jaccard dedup; see
+    :func:`verified_cosine_pairs`)."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    emb = emb.withColumn("nrm", _norm(F.col("v")))   # once per vector
+    return verified_cosine_pairs(emb).orderBy("vec_a", "vec_b")
 
 
 def _dup_plane_sql(band: int, p: int) -> str:
@@ -486,17 +492,7 @@ def q_dedup_embedding_canonicalize(spark: SparkSession,
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     emb = emb.withColumn("nrm", _norm(F.col("v")))
-    cand = _dup_candidate_pairs(emb)
-    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-                    F.col("nrm").alias("na"))
-    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-                    F.col("nrm").alias("nb"))
-    pairs = (cand.join(va, "vec_a").join(vb, "vec_b")
-             .select("vec_a", "vec_b",
-                     _r6(_cosine(F.col("va"), F.col("vb"),
-                                 F.col("na"), F.col("nb"))).alias("cs"))
-             .filter(F.col("cs") >= DUP_COS_THRESHOLD)
-             .select("vec_a", "vec_b"))
+    pairs = verified_cosine_pairs(emb).select("vec_a", "vec_b")
     comp = connected_components(pairs, a="vec_a", b="vec_b")
     w = Window.partitionBy("comp")
     return (comp.select(

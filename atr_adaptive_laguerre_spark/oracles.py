@@ -735,7 +735,7 @@ fw AS (
                    AND LEAD(close, {forward_k}) OVER w > 0.0::DOUBLE
               THEN LN(LEAD(close, {forward_k}) OVER w / close) END AS fwd
   FROM core
-  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  WINDOW w AS (PARTITION BY source, doc_id ORDER BY i)
 ),
 base AS (
   SELECT f.*, {_r6('fw.fwd')} AS fwd

@@ -784,7 +784,10 @@ def q_feature_ic_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = FeatureConfig.multi_interval(multiplier_1=3, multiplier_2=12,
                                        atr_period=14)
     feats = features_long(tokenize_documents_portable(docs), cfg)
-    w = Window.partitionBy("doc_id").orderBy("offset")
+    # entity key is (source, doc_id) everywhere in the engine — partition
+    # the close/forward windows the same way (doc_ids happen to be
+    # globally unique in the corpus, but the semantics must not rely on it)
+    w = Window.partitionBy("source", "doc_id").orderBy("offset")
     step = (F.col("token") % 997 - 498).cast("double") / F.lit(100.0)
     close = (F.lit(100.0)
              + F.sum(step).over(w.rowsBetween(Window.unboundedPreceding, 0)))

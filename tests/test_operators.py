@@ -40,6 +40,39 @@ def test_byte_features_and_media_decode():
         decode_media(b"\x89PNG", "image/png")
 
 
+def test_multimodal_ascii_gate_excludes_multibyte(spark):
+    """The byte-vs-codepoint divergence guard: non-ASCII docs (where
+    UTF-8 bytes != chars, so Spark featurizers and DuckDB string twins
+    would disagree) are excluded from the oracle-gated demo queries on
+    the Spark side exactly as the SQL twins exclude them."""
+    from atr_adaptive_laguerre_spark.operators.multimodal import (
+        _ascii_docs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "plain ascii"), (2, "日本語 text"), (3, "café")],
+        "doc_id bigint, text string")
+    kept = sorted(r["doc_id"] for r in _ascii_docs(df).collect())
+    assert kept == [1]
+
+
+def test_split_ppm_frames_rejects_truncation():
+    """Truncated payloads raise instead of hanging (a mid-comment or
+    mid-data truncation used to spin the header scan forever)."""
+    import pytest
+
+    from atr_adaptive_laguerre_spark.operators.multimodal import (
+        encode_ppm, split_ppm_frames,
+    )
+
+    img = (np.arange(2 * 3 * 3) % 251).astype(np.uint8).reshape(2, 3, 3)
+    p6 = encode_ppm(img)
+    with pytest.raises(ValueError, match="truncated frame data"):
+        split_ppm_frames(p6[:-4])
+    with pytest.raises(ValueError, match="truncated frame header"):
+        split_ppm_frames(b"P6\n# comment with no newline")
+
+
 def test_resize_and_frame_split_primitives():
     """box_downsample2 equals a naive per-block loop (odd rows cropped)
     and split_ppm_frames round-trips a multi-frame P6 concatenation."""
@@ -165,6 +198,16 @@ def test_connected_components_known_graph(spark):
             for r in connected_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
                     10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    # pointer doubling: a 60-node version-drift CHAIN (diameter 59,
+    # worst-case orientation: labels must travel from the high end)
+    # must converge in O(log diameter) rounds, far under max_iter
+    chain = spark.createDataFrame(
+        [(100 + i, 100 + i + 1) for i in range(60)],
+        "doc_a bigint, doc_b bigint")
+    got = {r["id"]: r["comp"]
+           for r in connected_components(chain, max_iter=12).collect()}
+    assert got == {100 + i: 100 for i in range(61)}
 
 
 def test_connected_components_property_vs_union_find(spark):

@@ -208,18 +208,9 @@ def test_read_sequences_table_and_path(spark, doc_df):
     assert is_table_ref("db.tokens") and is_table_ref("cat.db.tokens")
     assert not is_table_ref("/data/tokens.parquet")
     assert not is_table_ref("rel/dir")
-    # URI schemes and existing local names are paths, not tables
+    # URI schemes are paths, not tables
     assert not is_table_ref("file:data.parquet")
     assert not is_table_ref("s3a:bucket")
-    import os
-    import tempfile
-    with tempfile.TemporaryDirectory() as td:
-        cwd = os.getcwd()
-        os.chdir(os.path.dirname(td))
-        try:
-            assert not is_table_ref(os.path.basename(td))
-        finally:
-            os.chdir(cwd)
 
     doc_df.createOrReplaceTempView("seq_view")
     via_table = read_sequences(spark, "seq_view")
@@ -228,6 +219,29 @@ def test_read_sequences_table_and_path(spark, doc_df):
 
     with pytest.raises(ValueError, match="snapshot pinning"):
         read_sequences(spark, "/tmp/x.parquet", snapshot_id=123)
+
+    # bare-name ambiguity rule (ADVICE r2 + review): a name the catalog
+    # knows is ALWAYS the table, even if a same-named directory exists
+    # in the CWD; an unregistered bare name that exists on disk reads
+    # as a parquet path instead of a confusing table-not-found.
+    # (Relative paths must resolve in the REAL CWD — the JVM's working
+    # dir is fixed at launch, so os.chdir tricks would diverge.)
+    import shutil
+    import uuid
+
+    decoy = None
+    bare = f"bare_{uuid.uuid4().hex[:8]}"
+    try:
+        doc_df.limit(3).write.parquet("seq_view")            # decoy dir
+        decoy = "seq_view"
+        assert read_sequences(spark, "seq_view").count() \
+            == doc_df.count()                                # catalog wins
+        doc_df.limit(5).write.parquet(bare)
+        assert read_sequences(spark, bare).count() == 5
+    finally:
+        if decoy:
+            shutil.rmtree(decoy, ignore_errors=True)
+        shutil.rmtree(bare, ignore_errors=True)
 
 
 def test_features_doc_column_projection(spark, doc_df):
