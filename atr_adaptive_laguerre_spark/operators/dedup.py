@@ -364,31 +364,17 @@ SIMHASH_BITS = 16
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per doc: each distinct word votes +-1 per bit of its
-    60-bit hash; fingerprint bit = 1 iff the vote sum is positive."""
-    docs = _docs(spark, sf_dir)
-    wd = docs.select(
-        "doc_id", F.explode(F.array_distinct(_words())).alias("w"))
-    h = wd.select("doc_id", _hash60(F.col("w"), 0).alias("h"))
-    votes = [
-        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
-                     1).otherwise(-1)).alias(f"v{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    agg = h.groupBy("doc_id").agg(*votes)
-    sim = agg.select(
-        "doc_id",
-        sum((F.when(F.col(f"v{b}") > 0, 1).otherwise(0)
-             * F.lit(2 ** b)).cast("bigint")
-            for b in range(SIMHASH_BITS)).alias("simhash"))
-    return sim.orderBy("doc_id")
+    """16-bit SimHash per doc: each distinct word votes +-1 per bit of
+    its 60-bit hash; fingerprint bit = 1 iff the vote sum is positive
+    (see :func:`_simhash_fps`)."""
+    return _simhash_fps(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
-def _simhash_sql() -> str:
+def _simhash_sql(bits: int = SIMHASH_BITS) -> str:
     votes = " + ".join(
         f"(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
         f" > 0 THEN {2 ** b} ELSE 0 END)"
-        for b in range(SIMHASH_BITS))
+        for b in range(bits))
     return votes
 
 
@@ -409,11 +395,120 @@ ORDER BY doc_id
 """
 
 
+HAMMING_MAX = 3
+SIMHASH_PAIR_BITS = 32     # pairs use a WIDER fingerprint than the
+#                            16-bit legacy surface: a 16-bit code is so
+#                            coarse on a template-heavy corpus that a
+#                            <=3 (even <=1) radius marks a quarter of
+#                            all pairs; at 32 bits the radius means
+#                            real similarity
+SIMHASH_BANDS = 4          # 4 bands x 8 bits: any pair with Hamming <= 3
+#                            shares at least one untouched band
+#                            (pigeonhole — band recall is exact)
+
+
+def _simhash_fps(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash) fingerprints — the aggregation behind
+    q_dedup_simhash (16-bit legacy surface) and the Hamming-pair stage
+    (32-bit: discriminative enough that the <=3 radius means real
+    similarity, not fingerprint coarseness)."""
+    wd = docs.select(
+        "doc_id", F.explode(F.array_distinct(_words())).alias("w"))
+    h = wd.select("doc_id", _hash60(F.col("w"), 0).alias("h"))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = h.groupBy("doc_id").agg(*votes)
+    return agg.select(
+        "doc_id",
+        sum((F.when(F.col(f"v{b}") > 0, 1).otherwise(0)
+             * F.lit(2 ** b)).cast("bigint")
+            for b in range(bits)).alias("simhash"))
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: candidates from 8-bit band buckets (any
+    pair within Hamming distance 1 leaves one band untouched —
+    pigeonhole, so band recall is exact, not probabilistic), verified
+    by popcount(xor) <= HAMMING_MAX.  Linear candidate generation:
+    explode SIMHASH_BANDS rows/doc + one shuffle on (band, bucket) —
+    no corpus self-join."""
+    fps = _simhash_fps(_docs(spark, sf_dir), bits=SIMHASH_PAIR_BITS)
+    width = SIMHASH_PAIR_BITS // SIMHASH_BANDS
+    bands = []
+    for band in range(SIMHASH_BANDS):
+        bucket = F.shiftright(F.col("simhash"),
+                              band * width).bitwiseAND(2 ** width - 1)
+        bands.append(fps.select("doc_id", "simhash",
+                                F.lit(band).alias("band"),
+                                bucket.alias("bucket")))
+    bb = bands[0]
+    for other in bands[1:]:
+        bb = bb.unionByName(other)
+    a, b2 = bb.alias("a"), bb.alias("b")
+    cand = (a.join(b2, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.simhash").alias("sh_a"),
+                    F.col("b.simhash").alias("sh_b"))
+            .distinct())
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.select("doc_a", "doc_b",
+                        ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= HAMMING_MAX)
+            .orderBy("doc_a", "doc_b"))
+
+
+def _simhash_band_selects() -> str:
+    width = SIMHASH_PAIR_BITS // SIMHASH_BANDS
+    parts = []
+    for band in range(SIMHASH_BANDS):
+        parts.append(
+            f"SELECT doc_id, simhash, {band} AS band, "
+            f"(simhash >> {band * width}) & {2 ** width - 1} AS bucket "
+            f"FROM fps")
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE_DEDUP_SIMHASH_PAIRS = f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(trim(lower(text)),
+                '\\s+'))) AS word
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(word || '#0'), 1, 15))::BIGINT AS h
+  FROM w
+), fps AS (
+  SELECT doc_id, CAST({_simhash_sql(SIMHASH_PAIR_BITS)} AS BIGINT) AS simhash
+  FROM h
+  GROUP BY doc_id
+), bb AS (
+{_simhash_band_selects()}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bb a JOIN bb b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_canonicalize": q_dedup_canonicalize,
 }
 
@@ -422,5 +517,6 @@ ORACLES = {
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
     "dedup_canonicalize": ORACLE_DEDUP_CANONICALIZE,
 }
