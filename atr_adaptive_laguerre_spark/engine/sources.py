@@ -56,7 +56,16 @@ def read_sequences(spark: SparkSession, ref: str,
     confusing table-not-found)."""
     import os
 
-    if is_table_ref(ref) and (spark.catalog.tableExists(ref)
+    def _known_table(name: str) -> bool:
+        # a bare name that is not even a valid SQL identifier (e.g.
+        # 'corpus-v2') makes tableExists raise ParseException — that
+        # means "not a table", not an error
+        try:
+            return spark.catalog.tableExists(name)
+        except Exception:
+            return False
+
+    if is_table_ref(ref) and (_known_table(ref)
                               or not os.path.exists(ref)):
         reader = spark.read
         if snapshot_id is not None:

@@ -55,7 +55,11 @@ def curation_report(docs: DataFrame, min_tokens: int = MIN_TOKENS,
     keep = ((F.col("token_count") >= min_tokens)
             & (F.col("quality_score") >= min_quality))
     if near_dup_drops is not None:
-        nd = near_dup_drops.select("doc_id", F.lit(1).alias("nd_drop"))
+        # dedupe defensively: a drop set derived from a PAIR list holds
+        # one row per pair, and a duplicated doc_id would multiply
+        # scored rows through the join and inflate every report count
+        nd = (near_dup_drops.select("doc_id").distinct()
+              .withColumn("nd_drop", F.lit(1)))
         scored = scored.join(F.broadcast(nd), "doc_id", "left")
         keep = keep & F.col("nd_drop").isNull()
     cw = Window.partitionBy("chash")

@@ -429,10 +429,12 @@ def _simhash_fps(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup PAIRS: candidates from 8-bit band buckets (any
-    pair within Hamming distance 1 leaves one band untouched —
-    pigeonhole, so band recall is exact, not probabilistic), verified
-    by popcount(xor) <= HAMMING_MAX.  Linear candidate generation:
+    """SimHash near-dup PAIRS: candidates from 8-bit band buckets.
+    Pigeonhole: with SIMHASH_BANDS=4 bands, any pair within Hamming
+    distance HAMMING_MAX=3 (<= bands-1 in general) leaves at least one
+    band untouched, so band recall is exact, not probabilistic
+    (brute-force-verified in tests); verification is
+    popcount(xor) <= HAMMING_MAX.  Linear candidate generation:
     explode SIMHASH_BANDS rows/doc + one shuffle on (band, bucket) —
     no corpus self-join."""
     fps = _simhash_fps(_docs(spark, sf_dir), bits=SIMHASH_PAIR_BITS)

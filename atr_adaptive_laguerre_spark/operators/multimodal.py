@@ -34,12 +34,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the gate stays honest on any corpus (a no-op on the current ASCII
 #: testdata) instead of silently relying on it.
 def _ascii_docs(docs: DataFrame) -> DataFrame:
+    """SQL twin of this filter (inlined in each oracle):
+    ``octet_length(encode(text)) = length(text)``."""
     return docs.filter(
         F.octet_length(F.encode(F.col("text"), "UTF-8"))
         == F.length(F.col("text")))
-
-
-ASCII_SQL = "octet_length(encode(text)) = length(text)"
 
 
 def _r6(col):

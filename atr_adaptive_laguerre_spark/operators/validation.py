@@ -32,8 +32,10 @@ def _information_coefficient(spark: SparkSession, sf_dir: str,
     k-step forward return of the same user's series — the reference's
     IC payload (``information_coefficient.py:33,106-113``: ``log`` ->
     return[t] = log(p[t+k]/p[t]), ``simple`` -> p[t+k]/p[t] - 1,
-    pairwise NaN drop, >= 30 valid pairs).  ``value`` is strictly
-    positive in the events table, so the log is total."""
+    pairwise NaN drop, >= 30 valid pairs).  The events table contains
+    zero values at larger SFs, so returns are computed only where both
+    endpoints are strictly positive (the reference's price domain);
+    other pairs drop pairwise."""
     if return_type not in ("log", "simple"):
         raise ValueError(
             f"return_type must be 'log' or 'simple', got {return_type!r}")

@@ -725,12 +725,12 @@ def oracle_feature_ic_sweep(forward_k: int = 5) -> str:
     return f"""
 WITH RECURSIVE {_multi_interval_ctes(False)},
 feat AS (
-  SELECT doc_id, i,
+  SELECT source, doc_id, i,
        {qcols}
   FROM it3
 ),
 fw AS (
-  SELECT doc_id, i,
+  SELECT source, doc_id, i,
          CASE WHEN close > 0.0::DOUBLE
                    AND LEAD(close, {forward_k}) OVER w > 0.0::DOUBLE
               THEN LN(LEAD(close, {forward_k}) OVER w / close) END AS fwd
@@ -739,20 +739,23 @@ fw AS (
 ),
 base AS (
   SELECT f.*, {_r6('fw.fwd')} AS fwd
-  FROM feat f JOIN fw ON fw.doc_id = f.doc_id AND fw.i = f.i
+  FROM feat f JOIN fw ON fw.source = f.source
+   AND fw.doc_id = f.doc_id AND fw.i = f.i
   WHERE fw.fwd IS NOT NULL
 ),
 melted AS (
-  SELECT doc_id, i, fwd, feature, value
+  SELECT source, doc_id, i, fwd, feature, value
   FROM base UNPIVOT (value FOR feature IN ({in_list}))
 ),
 nn AS (SELECT * FROM melted WHERE NOT isnan(value)),
 ranked AS (
   SELECT feature,
          ROW_NUMBER() OVER (PARTITION BY feature
-                            ORDER BY value ASC, doc_id ASC, i ASC) AS rv,
+                            ORDER BY value ASC, source ASC, doc_id ASC,
+                                     i ASC) AS rv,
          ROW_NUMBER() OVER (PARTITION BY feature
-                            ORDER BY fwd ASC, doc_id ASC, i ASC) AS rf
+                            ORDER BY fwd ASC, source ASC, doc_id ASC,
+                                     i ASC) AS rf
   FROM nn
 )
 SELECT feature,

@@ -799,17 +799,19 @@ def q_feature_ic_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("fwd").isNotNull())
             .withColumn("fwd", _r6(F.col("fwd"))))
     feat_cols = feature_columns_for(cfg)
-    melted = base.unpivot(["doc_id", "offset", "fwd"], feat_cols,
+    melted = base.unpivot(["source", "doc_id", "offset", "fwd"], feat_cols,
                           "feature", "value")
     nn = (melted.filter(~F.isnan("value"))
-          .select("feature", "doc_id", "offset",
+          .select("feature", "source", "doc_id", "offset",
                   _r6(F.col("value")).alias("value"), "fwd"))
     wf = Window.partitionBy("feature")
     rv = F.row_number().over(
-        wf.orderBy(F.col("value").asc(), F.col("doc_id").asc(),
+        wf.orderBy(F.col("value").asc(), F.col("source").asc(),
+                   F.col("doc_id").asc(),
                    F.col("offset").asc())).cast("long")
     rf = F.row_number().over(
-        wf.orderBy(F.col("fwd").asc(), F.col("doc_id").asc(),
+        wf.orderBy(F.col("fwd").asc(), F.col("source").asc(),
+                   F.col("doc_id").asc(),
                    F.col("offset").asc())).cast("long")
     ranked = nn.select("feature", rv.alias("rv"), rf.alias("rf"))
     d2 = F.sum((F.col("rv") - F.col("rf"))

@@ -238,6 +238,14 @@ def test_read_sequences_table_and_path(spark, doc_df):
             == doc_df.count()                                # catalog wins
         doc_df.limit(5).write.parquet(bare)
         assert read_sequences(spark, bare).count() == 5
+        # a valid directory name that is NOT a valid SQL identifier
+        # must not blow up in tableExists — it's a path
+        hyph = f"{bare}-v2"
+        doc_df.limit(4).write.parquet(hyph)
+        try:
+            assert read_sequences(spark, hyph).count() == 4
+        finally:
+            shutil.rmtree(hyph, ignore_errors=True)
     finally:
         if decoy:
             shutil.rmtree(decoy, ignore_errors=True)
