@@ -382,6 +382,56 @@ ORDER BY query_id, rank
 """
 
 
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering with the trained k-means codebook (the
+    coarse-quantizer exposed as its own operator — topic/bucket
+    assignment for a training-data pipeline): every vector with its
+    nearest trained cell and the r6-quantized assignment cosine, plus
+    the resulting cluster size.  One broadcast codebook join + one
+    cell-keyed window — linear at any corpus size."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    emb = emb.withColumn("nrm", _norm(F.col("v")))
+    cent = _kmeans_codebook(emb)
+    sim = (emb.crossJoin(F.broadcast(cent))
+           .select("vec_id", "cell",
+                   _r6(_cosine(F.col("v"), F.col("cv"),
+                               F.col("nrm"), F.col("cn"))).alias("acos")))
+    wa = Window.partitionBy("vec_id").orderBy(F.col("acos").desc(),
+                                              F.col("cell").asc())
+    assigned = (sim.withColumn("rn", F.row_number().over(wa))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "cell", F.col("acos").alias("cos_sim")))
+    wc = Window.partitionBy("cell")
+    return (assigned.select(
+        "vec_id", "cell", "cos_sim",
+        F.count(F.lit(1)).over(wc).alias("cluster_size"))
+        .orderBy("vec_id"))
+
+
+ORACLE_EMBEDDING_KMEANS = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+{_kmeans_ctes()},
+asgn AS (
+  SELECT vec_id, cell, cos_sim FROM (
+    SELECT e.vec_id, c.cell,
+           {_COS_SQL.format(a='e.v', b='c.cv')} AS cos_sim,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a='e.v', b='c.cv')} DESC,
+                      c.cell ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+)
+SELECT vec_id, cell, cos_sim,
+       COUNT(*) OVER (PARTITION BY cell) AS cluster_size
+FROM asgn
+ORDER BY vec_id
+"""
+
+
 DUP_BANDS = 2
 DUP_PLANES = 4
 DUP_COS_THRESHOLD = 0.40
@@ -548,6 +598,7 @@ QUERIES = {
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_centroids": q_embedding_centroids,
+    "embedding_kmeans": q_embedding_kmeans,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_canonicalize": q_dedup_embedding_canonicalize,
 }
@@ -557,6 +608,7 @@ ORACLES = {
     "ann_lsh_buckets": ORACLE_ANN_LSH_BUCKETS,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
+    "embedding_kmeans": ORACLE_EMBEDDING_KMEANS,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
     "dedup_embedding_canonicalize": ORACLE_DEDUP_EMBEDDING_CANONICALIZE,
 }
