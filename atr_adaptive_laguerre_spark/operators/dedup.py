@@ -370,9 +370,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_fps(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
-def _simhash_sql(bits: int = SIMHASH_BITS) -> str:
+def _simhash_sql(bits: int = SIMHASH_BITS, col: str = "h") -> str:
     votes = " + ".join(
-        f"(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f"(CASE WHEN SUM(CASE WHEN ({col} >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
         f" > 0 THEN {2 ** b} ELSE 0 END)"
         for b in range(bits))
     return votes
@@ -396,22 +396,34 @@ ORDER BY doc_id
 
 
 HAMMING_MAX = 3
-SIMHASH_PAIR_BITS = 32     # pairs use a WIDER fingerprint than the
-#                            16-bit legacy surface: a 16-bit code is so
+SIMHASH_PAIR_BITS = 64     # pairs use a WIDER fingerprint than the
+#                            16-bit legacy surface, for two reasons:
+#                            (a) discrimination — a 16-bit code is so
 #                            coarse on a template-heavy corpus that a
-#                            <=3 (even <=1) radius marks a quarter of
-#                            all pairs; at 32 bits the radius means
-#                            real similarity
-SIMHASH_BANDS = 4          # 4 bands x 8 bits: any pair with Hamming <= 3
+#                            <=3 radius marks a quarter of all pairs;
+#                            (b) BUCKET SPACE — the band bucket count is
+#                            2^(bits/bands), and the (band, bucket)
+#                            self-join is quadratic WITHIN a bucket, so
+#                            the r3 32-bit/8-bit-band variant capped the
+#                            space at 256 buckets/band (~N^2/256
+#                            candidates at any corpus size — VERDICT r3
+#                            finding #1).  64 bits / 16-bit bands give
+#                            65,536 buckets per band; candidate density
+#                            falls with fingerprint entropy, not corpus
+#                            size.
+SIMHASH_BANDS = 4          # 4 bands x 16 bits: any pair with Hamming <= 3
 #                            shares at least one untouched band
 #                            (pigeonhole — band recall is exact)
+SIMHASH_HALF = 32          # the fingerprint is carried as two 32-bit
+#                            halves (sh_lo from hash stream #0, sh_hi
+#                            from #1) so no 2^63 term ever enters a
+#                            signed-bigint sum on either engine
 
 
 def _simhash_fps(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash) fingerprints — the aggregation behind
-    q_dedup_simhash (16-bit legacy surface) and the Hamming-pair stage
-    (32-bit: discriminative enough that the <=3 radius means real
-    similarity, not fingerprint coarseness)."""
+    q_dedup_simhash (16-bit legacy surface).  Single 60-bit hash stream,
+    so bits must be <= 60."""
     wd = docs.select(
         "doc_id", F.explode(F.array_distinct(_words())).alias("w"))
     h = wd.select("doc_id", _hash60(F.col("w"), 0).alias("h"))
@@ -428,22 +440,59 @@ def _simhash_fps(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
             for b in range(bits)).alias("simhash"))
 
 
+def _simhash_fps64(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh_lo, sh_hi) — the 64-bit fingerprint behind the
+    Hamming-pair stage, carried as two 32-bit halves: sh_lo votes over
+    bits 0..31 of md5-stream #0, sh_hi over bits 0..31 of the
+    independent stream #1.  Two halves (a) keep every vote sum and every
+    power-of-two term far inside signed-bigint range on both engines and
+    (b) make the 16-bit band extraction a shift on a small value."""
+    wd = docs.select(
+        "doc_id", F.explode(F.array_distinct(_words())).alias("w"))
+    h = wd.select("doc_id", _hash60(F.col("w"), 0).alias("h0"),
+                  _hash60(F.col("w"), 1).alias("h1"))
+    votes = []
+    for half, src in ((0, "h0"), (1, "h1")):
+        votes += [
+            F.sum(F.when(F.shiftright(F.col(src), b)
+                         .bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+            .alias(f"v{half}_{b}")
+            for b in range(SIMHASH_HALF)
+        ]
+    agg = h.groupBy("doc_id").agg(*votes)
+    halves = [
+        sum((F.when(F.col(f"v{half}_{b}") > 0, 1).otherwise(0)
+             * F.lit(2 ** b)).cast("bigint")
+            for b in range(SIMHASH_HALF))
+        for half in (0, 1)
+    ]
+    return agg.select("doc_id", halves[0].alias("sh_lo"),
+                      halves[1].alias("sh_hi"))
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup PAIRS: candidates from 8-bit band buckets.
+    """SimHash near-dup PAIRS: candidates from 16-bit band buckets over
+    a 64-bit fingerprint (VERDICT r3 #1: the former 8-bit bands gave only
+    256 buckets/band, so the bucket self-join degenerated to ~N^2/256
+    pairs at ANY corpus size; 16-bit bands give 65,536 buckets/band and
+    candidate density that tracks fingerprint entropy, not N).
     Pigeonhole: with SIMHASH_BANDS=4 bands, any pair within Hamming
     distance HAMMING_MAX=3 (<= bands-1 in general) leaves at least one
     band untouched, so band recall is exact, not probabilistic
     (brute-force-verified in tests); verification is
-    popcount(xor) <= HAMMING_MAX.  Linear candidate generation:
-    explode SIMHASH_BANDS rows/doc + one shuffle on (band, bucket) —
-    no corpus self-join."""
-    fps = _simhash_fps(_docs(spark, sf_dir), bits=SIMHASH_PAIR_BITS)
-    width = SIMHASH_PAIR_BITS // SIMHASH_BANDS
+    popcount(xor_lo) + popcount(xor_hi) <= HAMMING_MAX.  Candidate
+    generation is explode SIMHASH_BANDS rows/doc + one shuffle on
+    (band, bucket) — quadratic only within a bucket, and the bucket
+    space is fixed-entropy-wide."""
+    fps = _simhash_fps64(_docs(spark, sf_dir))
+    width = SIMHASH_PAIR_BITS // SIMHASH_BANDS        # 16
+    per_half = SIMHASH_HALF // width                  # 2 bands per half
     bands = []
     for band in range(SIMHASH_BANDS):
-        bucket = F.shiftright(F.col("simhash"),
-                              band * width).bitwiseAND(2 ** width - 1)
-        bands.append(fps.select("doc_id", "simhash",
+        src = "sh_lo" if band < per_half else "sh_hi"
+        shift = (band % per_half) * width
+        bucket = F.shiftright(F.col(src), shift).bitwiseAND(2 ** width - 1)
+        bands.append(fps.select("doc_id", "sh_lo", "sh_hi",
                                 F.lit(band).alias("band"),
                                 bucket.alias("bucket")))
     bb = bands[0]
@@ -455,10 +504,13 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"),
-                    F.col("a.simhash").alias("sh_a"),
-                    F.col("b.simhash").alias("sh_b"))
+                    F.col("a.sh_lo").alias("lo_a"),
+                    F.col("a.sh_hi").alias("hi_a"),
+                    F.col("b.sh_lo").alias("lo_b"),
+                    F.col("b.sh_hi").alias("hi_b"))
             .distinct())
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = (F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+           + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))))
     return (cand.select("doc_a", "doc_b",
                         ham.cast("int").alias("hamming"))
             .filter(F.col("hamming") <= HAMMING_MAX)
@@ -467,11 +519,14 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_band_selects() -> str:
     width = SIMHASH_PAIR_BITS // SIMHASH_BANDS
+    per_half = SIMHASH_HALF // width
     parts = []
     for band in range(SIMHASH_BANDS):
+        src = "sh_lo" if band < per_half else "sh_hi"
+        shift = (band % per_half) * width
         parts.append(
-            f"SELECT doc_id, simhash, {band} AS band, "
-            f"(simhash >> {band * width}) & {2 ** width - 1} AS bucket "
+            f"SELECT doc_id, sh_lo, sh_hi, {band} AS band, "
+            f"({src} >> {shift}) & {2 ** width - 1} AS bucket "
             f"FROM fps")
     return "\nUNION ALL\n".join(parts)
 
@@ -483,24 +538,31 @@ WITH w AS (
                 '\\s+'))) AS word
   FROM documents
 ), h AS (
-  SELECT doc_id, ('0x' || substr(md5(word || '#0'), 1, 15))::BIGINT AS h
+  SELECT doc_id,
+         ('0x' || substr(md5(word || '#0'), 1, 15))::BIGINT AS h0,
+         ('0x' || substr(md5(word || '#1'), 1, 15))::BIGINT AS h1
   FROM w
 ), fps AS (
-  SELECT doc_id, CAST({_simhash_sql(SIMHASH_PAIR_BITS)} AS BIGINT) AS simhash
+  SELECT doc_id,
+         CAST({_simhash_sql(SIMHASH_HALF, col="h0")} AS BIGINT) AS sh_lo,
+         CAST({_simhash_sql(SIMHASH_HALF, col="h1")} AS BIGINT) AS sh_hi
   FROM h
   GROUP BY doc_id
 ), bb AS (
 {_simhash_band_selects()}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.simhash AS sh_a, b.simhash AS sh_b
+         a.sh_lo AS lo_a, a.sh_hi AS hi_a,
+         b.sh_lo AS lo_b, b.sh_hi AS hi_b
   FROM bb a JOIN bb b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
-       CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+       CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+            AS INT) AS hamming
 FROM cand
-WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_MAX}
+WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+      <= {HAMMING_MAX}
 ORDER BY doc_a, doc_b
 """
 

@@ -181,23 +181,22 @@ def test_dedup_invariants(spark):
     assert ((sim["simhash"] >= 0) & (sim["simhash"] < 2 ** 16)).all()
 
     from atr_adaptive_laguerre_spark.operators.dedup import (
-        HAMMING_MAX, SIMHASH_PAIR_BITS, _simhash_fps, q_dedup_simhash_pairs,
+        HAMMING_MAX, _simhash_fps64, q_dedup_simhash_pairs,
     )
 
     pairs = q_dedup_simhash_pairs(spark, SF).toPandas()
     assert (pairs["doc_a"] < pairs["doc_b"]).all()
     assert (pairs["hamming"] <= HAMMING_MAX).all()
     # banding recall is pigeonhole-EXACT: every pair within the radius
-    # must appear — verify against brute force on the 32-bit fingerprints
-    fps = _simhash_fps(
-        spark.read.parquet(f"{SF}/documents.parquet"),
-        bits=SIMHASH_PAIR_BITS).toPandas()
+    # must appear — verify against brute force on the 64-bit fingerprints
+    fps = _simhash_fps64(
+        spark.read.parquet(f"{SF}/documents.parquet")).toPandas()
     import itertools
 
     want = set()
-    vals = list(zip(fps["doc_id"], fps["simhash"]))
-    for (da, sa), (db, sb) in itertools.combinations(vals, 2):
-        if bin(sa ^ sb).count("1") <= HAMMING_MAX:
+    vals = list(zip(fps["doc_id"], fps["sh_lo"], fps["sh_hi"]))
+    for (da, la, ha), (db, lb, hb) in itertools.combinations(vals, 2):
+        if bin(la ^ lb).count("1") + bin(ha ^ hb).count("1") <= HAMMING_MAX:
             want.add((min(da, db), max(da, db)))
     got = {(a, b) for a, b in pairs[["doc_a", "doc_b"]]
            .itertuples(index=False)}

@@ -145,16 +145,22 @@ def test_ic_sweep_two_exchanges_one_expand(spark):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 
 
-def test_curation_neardup_broadcasts_drop_set(spark):
-    """The near-dup drop set (non-canonical cluster members — a tiny
-    fraction of the corpus) must reach the curation decision as a
-    BROADCAST join, never a shuffled one, and nothing may go cartesian."""
+def test_curation_neardup_no_mandatory_broadcast(spark):
+    """VERDICT r3 #2: the near-dup drop set is corpus-proportional on a
+    dup-heavy corpus, so the curation decision must NOT force a
+    broadcast — no hint in the logical plan (AQE may still choose
+    broadcast at runtime when the set is small), the drop-set join must
+    be doc_id-keyed, and nothing may go cartesian."""
     from atr_adaptive_laguerre_spark.operators.curation import (
         q_corpus_curation_neardup,
     )
 
-    plan = _plan(q_corpus_curation_neardup(spark, SF))
+    df = q_corpus_curation_neardup(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and \
+        "UnresolvedHint" not in analyzed, analyzed
+    plan = _plan(df)
     assert "CartesianProduct" not in plan
     for line in plan.splitlines():
         if "nd_drop" in line and "Join" in line:
-            assert "BroadcastHashJoin" in line, line
+            assert "doc_id" in line, line
