@@ -75,10 +75,25 @@ def tiered_repartition(df: DataFrame, num_partitions: int,
     ``max(T(largest giant), T(normal mass)/cores)`` — this layout
     reaches it.  The ``count()`` is bounded driver-side bookkeeping
     (number of giants only).  Measured evidence: BENCH/BASELINE.md skew
-    section + tools/bench_skew.py."""
+    section + tools/bench_skew.py.
+
+    Isolation mechanism (ADVICE r3): each giant ENTITY gets an explicit
+    dense rank id and the tier range-partitions on that id — sampled
+    range bounds over raw doc_id strings could have co-located two
+    giants (and dense ids also make rows of a duplicated entity share
+    one partition BY DESIGN: the recurrence needs entities whole).  The
+    range sampler draws ~100 keys per output partition, i.e. it sees
+    every one of the n_big dense ids, so the bounds split exactly one
+    id per partition; the global rank window runs over the giant tier
+    only — a driver-bounded set by construction."""
+    from pyspark.sql import Window
+
     normal, oversized = split_oversized(df, oversize_threshold, n_tok_col)
-    n_big = oversized.count()
+    n_big = oversized.select("source", "doc_id").distinct().count()
     if n_big == 0:
         return df.repartition(num_partitions)
+    w = Window.orderBy("source", "doc_id")
+    big = oversized.withColumn("_pid", F.dense_rank().over(w))
     return (normal.repartition(num_partitions)
-            .unionByName(oversized.repartitionByRange(n_big, "doc_id")))
+            .unionByName(big.repartitionByRange(n_big, "_pid")
+                         .drop("_pid")))

@@ -240,7 +240,8 @@ ORDER BY doc_a, doc_b
 
 def connected_components(pairs: DataFrame, a: str = "doc_a",
                          b: str = "doc_b",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         on_round=None) -> DataFrame:
     """Connected components over an undirected pair list via min-label
     propagation WITH pointer doubling: every node starts labelled with
     its own id; each round replaces the label with
@@ -256,16 +257,33 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
     diameter rounds).  ``localCheckpoint`` truncates the iterative plan
     so Catalyst never sees an N-round join tower.
 
+    Observability: ``on_round`` (optional) is called once per
+    propagation round with ``{"round", "changed", "wall_sec"}`` — plus
+    ``{"n_nodes", "n_edges"}`` on the first call — so a 100 TB
+    canonicalization run can emit per-round convergence lineage to a
+    manifest (see ``engine.manifest.canonicalize_with_manifest``)
+    instead of running as an opaque multi-job loop.  The extra counts
+    run only when a callback is installed.
+
     Returns (id, comp) — one row per node, comp = min id of its
     component.
     """
+    import time as _time
+
     e = pairs.select(F.col(a).alias("a"), F.col(b).alias("b"))
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     labels = (sym.select(F.col("a").alias("id")).distinct()
               .withColumn("comp", F.col("id"))
               .localCheckpoint(eager=True))
-    for _ in range(max_iter):
+    graph_stats = None
+    if on_round is not None:
+        # sym holds both directions of every undirected pair, no
+        # self-loops (pairs have a < b), so undirected edges = |sym|/2
+        graph_stats = {"n_nodes": labels.count(),
+                       "n_edges": sym.count() // 2}
+    for _round in range(max_iter):
+        t0 = _time.time()
         nbr = (sym.join(labels, sym["b"] == labels["id"])
                .groupBy("a").agg(F.min("comp").alias("nbr_min")))
         # pointer doubling: my label's label (labels is a function of id,
@@ -284,6 +302,13 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
                    .localCheckpoint(eager=True))
         changed = stepped.filter(F.col("comp") != F.col("old")).count()
         labels = stepped.select("id", "comp")
+        if on_round is not None:
+            info = {"round": _round + 1, "changed": changed,
+                    "wall_sec": _time.time() - t0}
+            if graph_stats is not None:
+                info.update(graph_stats)
+                graph_stats = None
+            on_round(info)
         if changed == 0:
             return labels
     raise RuntimeError(

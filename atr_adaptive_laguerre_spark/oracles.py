@@ -705,7 +705,7 @@ ORDER BY doc_id, "offset"
 """
 
 
-def oracle_feature_ic_sweep(forward_k: int = 5) -> str:
+def oracle_feature_ic_sweep(forward_k: int = 5, cfg=None) -> str:
     """Twin of ``queries.q_feature_ic_sweep``: per-feature Spearman IC of
     the 121-column matrix vs the ``forward_k``-step forward log return of
     the close proxy (the reference's actual IC use case,
@@ -718,12 +718,17 @@ def oracle_feature_ic_sweep(forward_k: int = 5) -> str:
     final three float ops — engine-accumulation-order independent
     (``corr()`` partial sums would not be).  Exactness holds while
     sum(d^2) <= 2^53, i.e. n up to ~3M pairs per feature — far beyond
-    the sf0.1 gate."""
+    the sf0.1 gate.
+
+    ``cfg`` threads the SAME FeatureConfig the Spark query runs with
+    into the CTE chain (ADVICE r3: the pair previously stayed in sync
+    only because the Spark query's explicit config coincided with the
+    module-default constants)."""
     cols = multi_interval_columns(True)
     qcols = ",\n       ".join(f"{_r6(c)} AS {c}" for c in cols)
     in_list = ", ".join(cols)
     return f"""
-WITH RECURSIVE {_multi_interval_ctes(False)},
+WITH RECURSIVE {_multi_interval_ctes(False, cfg)},
 feat AS (
   SELECT source, doc_id, i,
        {qcols}

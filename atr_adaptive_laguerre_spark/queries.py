@@ -22,6 +22,11 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from atr_adaptive_laguerre_spark.config import FeatureConfig
 
+#: the ONE config the IC-sweep query and its DuckDB twin both run with
+#: (ADVICE r3: define it once so the pair cannot drift)
+IC_SWEEP_CFG = FeatureConfig.multi_interval(multiplier_1=3, multiplier_2=12,
+                                            atr_period=14)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -596,7 +601,11 @@ def _merge_flagship_oracles() -> None:
     ORACLES["features_121_availability"] = _o.oracle_features_121(True)
     ORACLES["rangebar_enrich"] = _o.oracle_rangebar_enrich()
     ORACLES["session_features"] = ORACLE_SESSION_FEATURES
-    ORACLES["feature_ic_sweep"] = _o.oracle_feature_ic_sweep()
+    # the SAME config object the Spark query runs with (ADVICE r3: a
+    # cfg mismatch here previously went unnoticed only because the
+    # explicit values coincided with the generator's module defaults)
+    ORACLES["feature_ic_sweep"] = _o.oracle_feature_ic_sweep(
+        cfg=IC_SWEEP_CFG)
 
 
 ORACLES: dict[str, str] = {
@@ -781,8 +790,7 @@ def q_feature_ic_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 5
     docs = _t(spark, sf_dir, "documents")
-    cfg = FeatureConfig.multi_interval(multiplier_1=3, multiplier_2=12,
-                                       atr_period=14)
+    cfg = IC_SWEEP_CFG
     feats = features_long(tokenize_documents_portable(docs), cfg)
     # entity key is (source, doc_id) everywhere in the engine — partition
     # the close/forward windows the same way (doc_ids happen to be

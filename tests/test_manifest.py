@@ -142,3 +142,39 @@ def test_resumable_with_column_projection(spark, corpus_parquet, tmp_path):
     assert {"source", "doc_id", "offset", "token",
             "rsi_change_1"} <= set(got.columns)
     assert "rsi_change_5" not in got.columns
+
+
+def test_canonicalize_with_manifest_telemetry(spark, tmp_path):
+    """canonicalize_with_manifest must (a) return the same fixpoint as a
+    bare connected_components call and (b) append one manifest row per
+    propagation round with the graph size, a changed-count that hits 0
+    on the final round, and monotone non-increasing changed counts are
+    NOT required (pointer doubling can plateau) — but the first round
+    must touch every non-minimal node of the 4-chain."""
+    from atr_adaptive_laguerre_spark.engine.manifest import (
+        canonicalize_with_manifest,
+    )
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain: diameter > 1
+         (10, 11), (11, 12), (10, 12),    # triangle
+         (20, 21)],                       # pair
+        "doc_a bigint, doc_b bigint")
+    mdir = str(tmp_path / "components_manifest")
+    comp = canonicalize_with_manifest(spark, pairs, mdir, run_id="cc1")
+    got = {(r["id"], r["comp"]) for r in comp.collect()}
+    want = {(r["id"], r["comp"])
+            for r in connected_components(pairs).collect()}
+    assert got == want
+
+    m = spark.read.parquet(mdir).toPandas().sort_values("round")
+    assert (m["run_id"] == "cc1").all()
+    assert m["round"].tolist() == list(range(1, len(m) + 1))
+    assert (m["n_nodes"] == 9).all()
+    assert (m["n_edges"] == 7).all()
+    assert m["changed"].iloc[-1] == 0      # converged
+    assert m["changed"].iloc[0] > 0        # the chain needs real work
+    assert (m["wall_sec"] >= 0).all()

@@ -580,3 +580,38 @@ def test_train_val_split_determinism_and_stability(spark):
         "doc_id", F.when(frac < TRAIN_FRACTION, "train").otherwise("val")
         .alias("s")).collect()}
     assert all(full[d] == s for d, s in sub.items())
+
+
+def test_curation_quantile_threshold_is_live(spark):
+    """The quantile cut must be data-driven: a higher quantile keeps
+    fewer docs, the reported threshold equals the corpus quality at the
+    requested rank, and the threshold column is constant across the
+    report."""
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        curation_report_quantile,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lo = curation_report_quantile(docs, quality_quantile=0.2).toPandas()
+    hi = curation_report_quantile(docs, quality_quantile=0.9).toPandas()
+    assert lo["quality_thr"].nunique() == 1
+    assert hi["quality_thr"].nunique() == 1
+    assert hi["quality_thr"].iloc[0] > lo["quality_thr"].iloc[0]
+    assert hi["n_kept"].sum() < lo["n_kept"].sum()
+
+    # rank-defined threshold: the value at ascending rank ceil(q*n) of
+    # the r6-quantized scores
+    import math
+
+    from atr_adaptive_laguerre_spark.operators.text import (
+        quality_cols, words_col,
+    )
+    from pyspark.sql import functions as F
+
+    q6 = (docs.select(
+        (F.floor(quality_cols(words_col())[2] * 1000000.0 + 0.5)
+         / 1000000.0).alias("q6"), "doc_id")
+        .toPandas().sort_values(["q6", "doc_id"])["q6"].tolist())
+    for rep, qq in ((lo, 0.2), (hi, 0.9)):
+        k = math.ceil(qq * len(q6))
+        assert rep["quality_thr"].iloc[0] == q6[k - 1]
