@@ -71,6 +71,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     extras: dict[str, float] = {}
 
     # ---- warm-up (excluded from timings, mirroring the reference's own
@@ -86,16 +87,26 @@ def main() -> None:
     features_long(warm, cfg121).count()
     core_features_long(warm, cfg).count()
 
-    def timed_min(fn, runs=3):
-        """Best of N runs: wall times on this shared host vary 3-8x with
-        neighbor load; min is the least-noise estimate."""
-        best = None
+    RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
+
+    def timed_runs(fn, runs=RUNS):
+        """All N wall times: this shared host varies 3-8x with neighbor
+        load, so the artifact records BOTH the min (the least-noise
+        estimate, and the round-over-round comparable number) and the
+        max-min spread (so a reader can judge how noisy the run was
+        without cross-referencing docs — VERDICT r3 item 4)."""
+        times = []
         for _ in range(runs):
             t0 = time.time()
             fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        return best
+            times.append(time.time() - t0)
+        return times
+
+    def record(name, fn, runs=RUNS):
+        times = timed_runs(fn, runs)
+        timings[name] = round(min(times), 3)
+        spreads[name] = round(max(times) - min(times), 3)
+        return timings[name]
 
     # ---- flagship: core kernel over the token corpus ----
     def run_core():
@@ -107,8 +118,7 @@ def main() -> None:
                         F.sum("rsi").alias("rsi_sum")).collect()[0]
         assert agg["rows"] == n_tok_total, (agg["rows"], n_tok_total)
 
-    dt = timed_min(run_core)
-    timings["core_rsi_kernel"] = round(dt, 3)
+    record("core_rsi_kernel", run_core)
     extras["n_sequences"] = n_seq
     extras["n_tokens"] = int(n_tok_total)
 
@@ -120,8 +130,7 @@ def main() -> None:
                        ).collect()[0]
         assert agg["rows"] == n_tok_total, (agg["rows"], n_tok_total)
 
-    dt = timed_min(run_121)
-    timings["features_121_kernel"] = round(dt, 3)
+    dt = record("features_121_kernel", run_121)
     extras["sequences_per_sec"] = round(n_seq / dt, 1)
     extras["tokens_per_sec"] = round(n_tok_total / dt, 1)
     extras["feature_values_per_sec"] = round(n_tok_total * 121 / dt, 1)
@@ -139,7 +148,7 @@ def main() -> None:
             # force full computation without driver materialization cost
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-        timings[name] = round(timed_min(run_query, runs=2), 3)
+        record(name, run_query)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -147,6 +156,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_spread": spreads,
+        "runs_per_query": RUNS,
         "sf": sf,
         **extras,
     }

@@ -1,0 +1,56 @@
+"""Deterministic sf1 documents table for the one-off correctness
+spot-gate (VERDICT r3 item 8: sf0.1 caught a DIVIDE_BY_ZERO that sf0.01
+could not — run the flagship/kernel queries once at 10x that scale).
+
+sf1 documents = 10 deterministic copies of the driver's sf0.1 table with
+disjoint doc_id ranges (copy k shifts ids by k * 10_000_000).  Identical
+text across copies is fine for the KERNEL queries this gate covers (they
+tokenize text per doc; no dedup semantics involved).  The other nine
+tables are symlinked from sf0.1 so the checker's view registration
+succeeds; only `documents`-backed queries are meaningful at this dir.
+
+Writes /root/repo/.testdata_sf1/ (gitignored).  Idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".testdata_sf1")
+COPIES = 10
+SHIFT = 10_000_000
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "embeddings").split()
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    out = os.path.join(DST, "documents.parquet")
+    if not os.path.exists(out):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{SRC}/documents.parquet")
+        parts = []
+        for k in range(COPIES):
+            ids = pa.compute.add(t["doc_id"], k * SHIFT)
+            parts.append(t.set_column(0, "doc_id", ids))
+        pq.write_table(pa.concat_tables(parts), out, compression="zstd")
+    for name in TABLES:
+        link = os.path.join(DST, f"{name}.parquet")
+        if not os.path.exists(link):
+            os.symlink(f"{SRC}/{name}.parquet", link)
+    import pyarrow.parquet as pq2
+
+    print("sf1 documents rows:",
+          pq2.ParquetFile(out).metadata.num_rows)
+
+
+if __name__ == "__main__":
+    main()
