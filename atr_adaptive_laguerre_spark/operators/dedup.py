@@ -271,8 +271,14 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
     import time as _time
 
     e = pairs.select(F.col(a).alias("a"), F.col(b).alias("b"))
-    sym = e.unionByName(
+    # materialize the edge list ONCE: sym is re-joined every round, and
+    # without the checkpoint each round would recompute the entire
+    # upstream pair pipeline (LSH candidate generation + verification —
+    # the expensive part); the edge list itself is small (only docs
+    # that appear in a near-dup pair)
+    sym = (e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+        .localCheckpoint(eager=True))
     labels = (sym.select(F.col("a").alias("id")).distinct()
               .withColumn("comp", F.col("id"))
               .localCheckpoint(eager=True))

@@ -164,3 +164,35 @@ def test_curation_neardup_no_mandatory_broadcast(spark):
     for line in plan.splitlines():
         if "nd_drop" in line and "Join" in line:
             assert "doc_id" in line, line
+
+
+def test_sample_stratified_single_shuffle(spark):
+    """The stratified sampler's assignment is a stateless per-row
+    expression — the report groupBy must be the ONLY exchange and no
+    join may appear (the rate derives from the row's own source column,
+    never from a rate-table join)."""
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        q_corpus_sample_stratified,
+    )
+
+    plan = _plan(q_corpus_sample_stratified(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert "PythonUDF" not in plan
+
+
+def test_contamination_joins_on_shingle_and_docid_only(spark):
+    """The contamination audit must join the training explosion to the
+    benchmark set on the shingle key and fold back per doc_id — never a
+    corpus self-join or cartesian."""
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        q_contamination_check,
+    )
+
+    plan = _plan(q_contamination_check(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "Join" in line and ("SortMerge" in line or "ShuffledHash" in line
+                               or "BroadcastHash" in line):
+            assert ("s#" in line or "doc_id" in line), line
