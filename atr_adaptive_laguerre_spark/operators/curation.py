@@ -224,18 +224,22 @@ def curation_report_quantile(docs: DataFrame,
     ``validation/ood_robustness.py:79-86`` thresholds regimes by
     quantile), and a rank-defined ("type-1") quantile is exactly
     reproducible across engines, unlike interpolated or approximate
-    quantiles whose last-ulp arithmetic differs.  Quality scores are
-    r6-quantized BEFORE ranking so both engines rank identical values;
-    ties break on doc_id.  The report carries the threshold used
-    (``quality_thr``) so a run is self-describing.
+    quantiles whose last-ulp arithmetic differs.  The threshold is the
+    k-th smallest r6-quantized score, computed as a HISTOGRAM scan: one
+    groupBy over the quantized score (the value domain is bounded at
+    10^6+1 buckets by the quantization, regardless of corpus size), a
+    cumulative count over those distinct values, and the first value
+    whose cumulative count reaches k.  The report carries the threshold
+    used (``quality_thr``) so a run is self-describing.
 
-    Scale shape: the threshold is a single global rank — at 100 TB this
-    exact form runs on a bounded evaluation sample (or swaps in
-    ``percentile_approx`` for one-pass streaming merge); the resulting
-    SCALAR is broadcast to the per-doc decision, which keeps the same
-    two-shuffle report plan as :func:`curation_report`.  (Broadcasting a
-    one-row threshold is nothing like the corpus-proportional drop-set
-    broadcast removed by VERDICT r3 #2.)
+    Scale shape: NO corpus-sized global sort anywhere — the per-doc
+    side is one linear scan into the bounded histogram groupBy; the
+    only single-partition window runs over <= 10^6 distinct quantized
+    values (corpus-size-INDEPENDENT, a few MB); the resulting one-row
+    SCALAR is broadcast into the per-doc decision, keeping the same
+    two-shuffle report plan as :func:`curation_report`.  (Broadcasting
+    a one-row threshold is nothing like the corpus-proportional
+    drop-set broadcast removed by VERDICT r3 #2.)
     """
     w = words_col()
     n = F.size(w)
@@ -252,15 +256,16 @@ def curation_report_quantile(docs: DataFrame,
         _r6(quality).alias("q6"),
         guess.alias("lang_guess"),
         F.md5(norm).alias("chash"))
-    rw = Window.orderBy("q6", "doc_id")
-    ranked = scored.select(
+    hist = scored.groupBy("q6").agg(F.count(F.lit(1)).alias("cnt"))
+    hw = Window.orderBy("q6")          # <= 10^6+1 rows by construction
+    cum = hist.select(
         "q6",
-        F.row_number().over(rw).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_total"))
-    thr = (ranked
-           .filter(F.col("rn") == F.ceil(F.lit(quality_quantile)
-                                         * F.col("n_total")).cast("int"))
-           .select(F.col("q6").alias("quality_thr")))
+        F.sum("cnt").over(hw.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n_total"))
+    k = F.ceil(F.lit(quality_quantile) * F.col("n_total")).cast("bigint")
+    thr = (cum.filter(F.col("cum") >= k)
+           .agg(F.min("q6").alias("quality_thr")))
     scored = scored.crossJoin(F.broadcast(thr))
     keep = ((F.col("token_count") >= min_tokens)
             & (F.col("q6") >= F.col("quality_thr")))
@@ -303,13 +308,18 @@ WITH w AS (
               ELSE 'other' END AS lang_guess,
          md5(array_to_string(words, ' ')) AS chash
   FROM w
-), ranked AS (
-  SELECT q6, row_number() OVER (ORDER BY q6, doc_id) AS rn,
-         COUNT(*) OVER () AS n_total
-  FROM scored
+), hist AS (
+  SELECT q6, COUNT(*) AS cnt FROM scored GROUP BY q6
+), cum AS (
+  SELECT q6,
+         SUM(cnt) OVER (ORDER BY q6
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(cnt) OVER () AS n_total
+  FROM hist
 ), thr AS (
-  SELECT q6 AS quality_thr FROM ranked
-  WHERE rn = CAST(CEIL({QUALITY_QUANTILE} * n_total) AS BIGINT)
+  SELECT MIN(q6) AS quality_thr FROM cum
+  WHERE cum >= CAST(CEIL({QUALITY_QUANTILE} * n_total) AS BIGINT)
 ), flagged AS (
   SELECT s.source, s.lang_guess, t.quality_thr, s.token_count,
          CAST(s.doc_id = MIN(s.doc_id) OVER (PARTITION BY s.chash)
