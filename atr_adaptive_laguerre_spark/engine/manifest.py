@@ -221,15 +221,20 @@ def canonicalize_with_manifest(spark: SparkSession, pairs: DataFrame,
 
     run_id = run_id or uuid.uuid4().hex[:12]
     rounds: list[dict] = []
-    comp = connected_components(pairs, a=a, b=b, max_iter=max_iter,
-                                on_round=rounds.append)
-    now = time.time()
-    n_nodes = rounds[0]["n_nodes"] if rounds else 0
-    n_edges = rounds[0]["n_edges"] if rounds else 0
-    rows = [(run_id, int(r["round"]), int(n_nodes), int(n_edges),
-             int(r["changed"]), float(r["wall_sec"]), float(now))
-            for r in rounds]
-    if rows:
-        (spark.createDataFrame(rows, COMPONENTS_MANIFEST_SCHEMA)
-         .write.mode("append").parquet(manifest_dir))
+    try:
+        comp = connected_components(pairs, a=a, b=b, max_iter=max_iter,
+                                    on_round=rounds.append)
+    finally:
+        # write whatever rounds accumulated even when the loop exhausts
+        # max_iter and raises — the non-convergence case is exactly when
+        # an operator needs the changed-count lineage
+        now = time.time()
+        n_nodes = rounds[0]["n_nodes"] if rounds else 0
+        n_edges = rounds[0]["n_edges"] if rounds else 0
+        rows = [(run_id, int(r["round"]), int(n_nodes), int(n_edges),
+                 int(r["changed"]), float(r["wall_sec"]), float(now))
+                for r in rounds]
+        if rows:
+            (spark.createDataFrame(rows, COMPONENTS_MANIFEST_SCHEMA)
+             .write.mode("append").parquet(manifest_dir))
     return comp

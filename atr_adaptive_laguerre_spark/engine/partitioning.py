@@ -84,16 +84,21 @@ def tiered_repartition(df: DataFrame, num_partitions: int,
     one partition BY DESIGN: the recurrence needs entities whole).  The
     range sampler draws ~100 keys per output partition, i.e. it sees
     every one of the n_big dense ids, so the bounds split exactly one
-    id per partition; the global rank window runs over the giant tier
-    only — a driver-bounded set by construction."""
+    id per partition.  The rank is computed over the DISTINCT entity
+    keys only — a tiny (n_big x 2-column) set whose single-partition
+    window is driver-cheap — and joined back onto the rows by key, so
+    the giant rows themselves (multi-million-token arrays) never funnel
+    through one task to get their id."""
     from pyspark.sql import Window
 
     normal, oversized = split_oversized(df, oversize_threshold, n_tok_col)
-    n_big = oversized.select("source", "doc_id").distinct().count()
+    keys = oversized.select("source", "doc_id").distinct()
+    n_big = keys.count()
     if n_big == 0:
         return df.repartition(num_partitions)
     w = Window.orderBy("source", "doc_id")
-    big = oversized.withColumn("_pid", F.dense_rank().over(w))
+    ranked_keys = keys.withColumn("_pid", F.dense_rank().over(w))
+    big = oversized.join(F.broadcast(ranked_keys), ["source", "doc_id"])
     return (normal.repartition(num_partitions)
             .unionByName(big.repartitionByRange(n_big, "_pid")
                          .drop("_pid")))

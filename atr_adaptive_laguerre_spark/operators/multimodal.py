@@ -374,11 +374,25 @@ def image_batch_channel_sums(imgs: list) -> tuple:
         return np.zeros((0, 3), np.int64), z, z
     hs = np.array([im.shape[0] for im in imgs], np.int64)
     ws = np.array([im.shape[1] for im in imgs], np.int64)
-    big = np.concatenate([im.reshape(-1) for im in imgs]) \
-        .reshape(-1, 3).astype(np.int64)
-    offsets = np.zeros(len(imgs), np.int64)
-    offsets[1:] = np.cumsum(hs * ws)[:-1]
-    return np.add.reduceat(big, offsets, axis=0), hs, ws
+    big, offsets, _sizes = concat_with_offsets(imgs)
+    px = big.reshape(-1, 3)
+    return np.add.reduceat(px, offsets // 3, axis=0), hs, ws
+
+
+def concat_with_offsets(arrays: list) -> tuple:
+    """(big int64 1-D buffer, element offsets, sizes) for a list of
+    arrays — the shared scaffolding of every batch-vectorized
+    featurizer (byte/audio/image/video): concatenate once, then compute
+    per-segment math with reduceat/cumsum at the offsets instead of a
+    per-row Python loop."""
+    if not arrays:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    sizes = np.array([a.size for a in arrays], np.int64)
+    big = np.concatenate([a.reshape(-1) for a in arrays]).astype(np.int64)
+    offsets = np.zeros(len(arrays), np.int64)
+    offsets[1:] = np.cumsum(sizes)[:-1]
+    return big, offsets, sizes
 
 
 def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,16 +505,8 @@ def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             # docs from one cumsum; the top-left 2x2 block is a fixed
             # 4-pixel gather per channel at each image offset.
             n = len(imgs)
-            if n == 0:
-                hs = np.zeros(0, np.int64)
-                big = np.zeros(0, np.int64)
-                offsets = np.zeros(0, np.int64)
-            else:
-                hs = np.array([im.shape[0] for im in imgs], np.int64)
-                big = np.concatenate([im.reshape(-1) for im in imgs]) \
-                    .astype(np.int64)
-                offsets = np.zeros(n, np.int64)
-                offsets[1:] = np.cumsum(hs * (IMG_W * 3))[:-1]
+            big, offsets, sizes = concat_with_offsets(imgs)
+            hs = sizes // (IMG_W * 3)
             h2 = hs // 2
             csum = np.concatenate([np.zeros(1, np.int64), np.cumsum(big)])
             crop_sum = csum[offsets + h2 * 2 * IMG_W * 3] - csum[offsets]
@@ -652,13 +658,7 @@ def q_multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             if n == 0:
                 means = np.zeros(0, np.float64)
             else:
-                sizes = np.array([fr.size for fr in sampled_frames],
-                                 np.int64)
-                big = np.concatenate(
-                    [fr.reshape(-1) for fr in sampled_frames]) \
-                    .astype(np.int64)
-                offsets = np.zeros(len(sampled_frames), np.int64)
-                offsets[1:] = np.cumsum(sizes)[:-1]
+                big, offsets, sizes = concat_with_offsets(sampled_frames)
                 means = (np.add.reduceat(big, offsets)
                          / sizes.astype(np.float64))
             yield pd.DataFrame({

@@ -640,4 +640,6 @@ def test_sample_stratified_and_contamination_invariants(spark):
     assert BENCHMARK_SOURCE not in set(c["source"])
     assert (c["n_contaminated"] <= c["n_docs"]).all()
     assert (c["contamination_ratio"] <= 1.0).all()
-    assert c["n_contaminated"].sum() >= 0
+    # the synthetic corpus's template cliques span sources, so a broken
+    # shingle join (zero hits everywhere) must FAIL here
+    assert c["n_contaminated"].sum() > 0

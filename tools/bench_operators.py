@@ -97,7 +97,7 @@ def main() -> None:
         "cpus": cpus,
         "pair_density_simhash": round(
             rows_out["dedup_simhash_pairs"]
-            / (n_docs * (n_docs - 1) / 2), 6),
+            / (n_docs * (n_docs - 1) / 2), 6) if n_docs > 1 else None,
     }
     spark.stop()
     line = json.dumps(out)

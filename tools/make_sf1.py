@@ -37,10 +37,11 @@ def main() -> None:
         import pyarrow.parquet as pq
 
         t = pq.read_table(f"{SRC}/documents.parquet")
+        id_pos = t.column_names.index("doc_id")
         parts = []
         for k in range(COPIES):
             ids = pa.compute.add(t["doc_id"], k * SHIFT)
-            parts.append(t.set_column(0, "doc_id", ids))
+            parts.append(t.set_column(id_pos, "doc_id", ids))
         pq.write_table(pa.concat_tables(parts), out, compression="zstd")
     for name in TABLES:
         link = os.path.join(DST, f"{name}.parquet")
