@@ -178,3 +178,27 @@ def test_canonicalize_with_manifest_telemetry(spark, tmp_path):
     assert m["changed"].iloc[-1] == 0      # converged
     assert m["changed"].iloc[0] > 0        # the chain needs real work
     assert (m["wall_sec"] >= 0).all()
+
+
+def test_canonicalize_manifest_survives_nonconvergence(spark, tmp_path):
+    """When the propagation loop exhausts max_iter and raises, the
+    rounds already executed must still land in the manifest — the
+    diverging run is exactly when the lineage matters."""
+    import pytest
+
+    from atr_adaptive_laguerre_spark.engine.manifest import (
+        canonicalize_with_manifest,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)],   # chain needs >1 round
+        "doc_a bigint, doc_b bigint")
+    mdir = str(tmp_path / "cc_manifest")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        canonicalize_with_manifest(spark, pairs, mdir, run_id="ccfail",
+                                   max_iter=1)
+    m = spark.read.parquet(mdir).toPandas()
+    assert len(m) == 1
+    assert m["round"].iloc[0] == 1
+    assert m["changed"].iloc[0] > 0
+    assert m["n_nodes"].iloc[0] == 5 and m["n_edges"].iloc[0] == 4
