@@ -104,8 +104,30 @@ def main() -> int:
         build_corpus(spark, path)
     doc = spark.read.parquet(path)
 
+    # the COLLISION case the tier exists to prevent: hash-partition on a
+    # salted key whose salt is chosen (deterministically, driver-side)
+    # so that two giants land in the same partition — round-robin
+    # happens to spread the giants on this corpus (r4 re-measurement),
+    # so without this layout the worst case would stay theoretical
+    giant_ids = [r["doc_id"] for r in
+                 doc.filter(F.col("n_tok") > THRESHOLD)
+                 .select("doc_id").collect()]
+    probe = spark.createDataFrame([(g,) for g in giant_ids],
+                                  "doc_id string")
+    collide_salt = None
+    for salt in range(64):
+        buckets = [r["b"] for r in probe.select(
+            F.pmod(F.xxhash64("doc_id", F.lit(salt)), F.lit(CPUS))
+            .alias("b")).collect()]
+        if len(set(buckets)) < len(buckets):
+            collide_salt = salt
+            break
+    assert collide_salt is not None
+
     layouts = {
         "single_tier_roundrobin": lambda: doc.repartition(CPUS),
+        "single_tier_colliding": lambda: doc.repartition(
+            CPUS, F.xxhash64("doc_id", F.lit(collide_salt))),
         "two_tier_oversized": lambda: tiered_repartition(doc, CPUS,
                                                          THRESHOLD),
     }
