@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from atr_adaptive_laguerre_spark.operators.io import read_table
 from atr_adaptive_laguerre_spark.operators.text import (
     _r6, _sw_sql, quality_cols, quality_sql, words_col,
 )
@@ -84,7 +85,7 @@ def curation_report(docs: DataFrame, min_tokens: int = MIN_TOKENS,
 
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog entry: :func:`curation_report` at the module defaults."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     return curation_report(docs)
 
 
@@ -143,7 +144,7 @@ def q_corpus_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components, verified_jaccard_pairs,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     comp = connected_components(verified_jaccard_pairs(docs))
     nd = (comp.filter(F.col("id") != F.col("comp"))
           .select(F.col("id").alias("doc_id")))
@@ -287,7 +288,7 @@ def q_corpus_curation_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog entry: :func:`curation_report_quantile` at
     ``QUALITY_QUANTILE`` (non-default, so the gate exercises the
     parameter)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     return curation_report_quantile(docs, quality_quantile=QUALITY_QUANTILE)
 
 
@@ -350,7 +351,7 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning.  Reports per (source, split) document and character
     mass.  One shuffle (the report groupBy); the assignment itself is a
     stateless per-row expression."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     frac = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
                    16, 10).cast("double") / F.lit(float(16 ** 8)))
     split = F.when(frac < TRAIN_FRACTION, "train").otherwise("val")
@@ -401,7 +402,7 @@ def q_corpus_sample_stratified(spark: SparkSession,
     join — the rate derives from the row's own source column); the only
     shuffle is the report groupBy.  Nothing here depends on corpus
     size."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     rate = (F.lit(SAMPLE_RATE_BASE)
             + F.lit(SAMPLE_RATE_SPAN)
             * (F.conv(F.substring(F.md5(F.col("source")), 1, 2), 16, 10)
@@ -468,7 +469,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrade gracefully if someone passes a huge 'benchmark'."""
     from atr_adaptive_laguerre_spark.operators.dedup import shingles_col
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     sh = shingles_col(CONTAM_NGRAM)
     bench = (docs.filter(F.col("source") == BENCHMARK_SOURCE)
              .select(F.explode(sh).alias("s")).distinct())

@@ -28,10 +28,19 @@ NGRAM = 3
 MINHASH_K = 12
 LSH_BANDS = 4          # 4 bands x 3 rows
 JACCARD_THRESHOLD = 0.2
+#: Carter-Wegman modulus for deriving the K minhash streams from TWO
+#: md5-derived base hashes (h1 + k*h2 mod P) instead of K md5s per
+#: shingle — md5 is the dominant LSH cost, so this cuts the hashing
+#: ~6x.  P = 2^59 - 55 (prime) keeps the worst case
+#: h1 + (K-1)*h2 < 2^59 + 11*2^59 < 2^63 inside signed-64 arithmetic
+#: on BOTH engines (exact integer math, so the twins stay bit-equal).
+MINHASH_P = (1 << 59) - 55
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from atr_adaptive_laguerre_spark.operators.io import read_table
+
+    return read_table(spark, sf_dir, "documents")
 
 
 def _r6(col):
@@ -130,13 +139,20 @@ def _hash60(col, k: int):
 
 
 def _lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """MinHash+LSH candidate pairs (doc_a < doc_b): K=12 md5-derived
-    minhashes per doc, 4 bands x 3 rows; docs sharing any band bucket
-    are candidates.  Linear-cost candidate generation (explode K rows/doc
-    + one shuffle on (band, bucket))."""
+    """MinHash+LSH candidate pairs (doc_a < doc_b): K=12 minhashes per
+    doc, 4 bands x 3 rows; docs sharing any band bucket are candidates.
+    Linear-cost candidate generation (explode K rows/doc + one shuffle
+    on (band, bucket)).  The K hash streams are Carter-Wegman
+    combinations h1 + k*h2 mod MINHASH_P of TWO md5-derived base
+    hashes — two md5s per shingle instead of twelve."""
     sh = docs.select("doc_id", F.explode(shingles_col()).alias("s"))
-    mh = sh.groupBy("doc_id").agg(
-        *[F.min(_hash60(F.col("s"), k)).alias(f"mh{k}")
+    hh = sh.select(
+        "doc_id",
+        (_hash60(F.col("s"), 0) % MINHASH_P).alias("h1"),
+        (_hash60(F.col("s"), 1) % MINHASH_P).alias("h2"))
+    mh = hh.groupBy("doc_id").agg(
+        *[F.min((F.col("h1") + F.lit(k) * F.col("h2")) % MINHASH_P)
+          .alias(f"mh{k}")
           for k in range(MINHASH_K)])
     rows_per_band = MINHASH_K // LSH_BANDS
     bands = []
@@ -167,9 +183,21 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mh_sql_cols() -> str:
+    """Minhash aggregate columns over a CTE exposing (doc_id, h1, h2)."""
     return ",\n         ".join(
-        f"MIN(('0x' || substr(md5(s || '#{k}'), 1, 15))::BIGINT) AS mh{k}"
+        f"MIN((h1 + {k} * h2) % {MINHASH_P}) AS mh{k}"
         for k in range(MINHASH_K))
+
+
+def _hh_sql(src: str) -> str:
+    """SELECT body computing the two base hashes from a shingle column
+    ``s`` (twin of the Spark ``hh`` projection)."""
+    return (f"SELECT doc_id,\n"
+            f"         (('0x' || substr(md5(s || '#0'), 1, 15))::BIGINT)"
+            f" % {MINHASH_P} AS h1,\n"
+            f"         (('0x' || substr(md5(s || '#1'), 1, 15))::BIGINT)"
+            f" % {MINHASH_P} AS h2\n"
+            f"  FROM {src}")
 
 
 def _band_selects() -> str:
@@ -200,10 +228,12 @@ def _jaccard_pairs_ctes() -> str:
   FROM jw
 ), jsh AS (
   SELECT doc_id, unnest(shingles) AS s FROM jshl
+), jhh AS (
+  {_hh_sql("jsh")}
 ), jmh AS (
   SELECT doc_id,
          {_mh_sql_cols()}
-  FROM jsh
+  FROM jhh
   GROUP BY doc_id
 ), jbb AS (
 {_band_selects().replace("FROM mh", "FROM jmh")}
@@ -377,10 +407,12 @@ WITH w AS (
                                for i in range(1, length(words) - {NGRAM - 2})]))
            AS s
   FROM w
+), hh AS (
+  {_hh_sql("sh")}
 ), mh AS (
   SELECT doc_id,
          {_mh_sql_cols()}
-  FROM sh
+  FROM hh
   GROUP BY doc_id
 ), bb AS (
 {_band_selects()}

@@ -24,7 +24,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from atr_adaptive_laguerre_spark.operators.io import read_table
+
+    return read_table(spark, sf_dir, "documents")
 
 
 #: The Spark featurizers derive payloads from UTF-8 BYTES (the right

@@ -32,7 +32,9 @@ LSH_PLANES = 8
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from atr_adaptive_laguerre_spark.operators.io import read_table
+
+    return read_table(spark, sf_dir, "embeddings")
 
 
 def _r6(col):

@@ -17,7 +17,9 @@ EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is",
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from atr_adaptive_laguerre_spark.operators.io import read_table
+
+    return read_table(spark, sf_dir, "documents")
 
 
 def _r6(col):
