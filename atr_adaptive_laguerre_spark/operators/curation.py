@@ -523,8 +523,66 @@ ORDER BY b.source
 """
 
 
+def q_corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture weights per source domain — the sampling-weight
+    computation of a multi-domain training mix (the XLM/LLaMA idiom):
+    the natural weight (a source's share of total token mass) and a
+    temperature-scaled weight p_i^(1/T) / sum(p_j^(1/T)) at T=2 that
+    up-samples small domains.  T=2 means the exponent is 0.5 — sqrt is
+    IEEE-754 correctly-rounded on BOTH engines (unlike pow(x, 0.3),
+    whose libm last-ulp differs between the JVM and DuckDB), and the
+    scaled mass is fixed-point-quantized to an exact BIGINT before the
+    cross-source sum, so every division here is a ratio of exact
+    integers and the twins stay bit-equal.
+
+    Scale shape: one groupBy on ``source`` — tiny key cardinality
+    (domains are O(100) even at 100 TB) with map-side partial
+    aggregation, so each reducer key receives one partial row per map
+    partition, not per document; the weight normalization is a window
+    over the per-source aggregate (corpus-size-independent, a few KB).
+    Nothing downstream of the first groupBy scales with corpus size."""
+    docs = read_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words_col())).alias("tokens"))
+    sq6 = F.floor(F.sqrt(F.col("tokens").cast("double"))
+                  * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    per = per.withColumn("sq6", sq6)
+    w = Window.partitionBy()       # O(#sources) rows by construction
+    return (per.select(
+        "source", "n_docs", "tokens",
+        _r6(F.col("tokens").cast("double")
+            / F.sum("tokens").over(w)).alias("natural_weight"),
+        _r6(F.col("sq6").cast("double")
+            / F.sum("sq6").over(w)).alias("mix_weight_t2"))
+        .orderBy("source"))
+
+
+ORACLE_CORPUS_DOMAIN_MIX = """
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(length(regexp_split_to_array(trim(lower(text)),
+             '\\s+')))::BIGINT AS tokens
+  FROM documents GROUP BY source
+), q AS (
+  SELECT source, n_docs, tokens,
+         CAST(FLOOR(sqrt(tokens::DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           AS sq6
+  FROM per
+)
+SELECT source, n_docs, tokens,
+       FLOOR(tokens::DOUBLE / (SUM(tokens) OVER ())::DOUBLE
+             * 1000000 + 0.5) / 1000000 AS natural_weight,
+       FLOOR(sq6::DOUBLE / (SUM(sq6) OVER ())::DOUBLE
+             * 1000000 + 0.5) / 1000000 AS mix_weight_t2
+FROM q
+ORDER BY source
+"""
+
+
 QUERIES = {
     "corpus_curation": q_corpus_curation,
+    "corpus_domain_mix": q_corpus_domain_mix,
     "corpus_curation_neardup": q_corpus_curation_neardup,
     "corpus_curation_quantile": q_corpus_curation_quantile,
     "corpus_sample_stratified": q_corpus_sample_stratified,
@@ -534,6 +592,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_curation": ORACLE_CORPUS_CURATION,
+    "corpus_domain_mix": ORACLE_CORPUS_DOMAIN_MIX,
     "corpus_curation_neardup": _oracle_corpus_curation_neardup(),
     "corpus_curation_quantile": ORACLE_CORPUS_CURATION_QUANTILE,
     "corpus_sample_stratified": ORACLE_CORPUS_SAMPLE_STRATIFIED,

@@ -630,8 +630,105 @@ ORDER BY doc_a, doc_b
 """
 
 
+#: sub-document dedup chunk width (tokens).  Real pipelines split on
+#: paragraph boundaries ('\n\n'); the synthetic corpus has no newlines,
+#: so fixed-width token chunks stand in — the Spark plumbing (explode,
+#: hash-keyed shuffles, per-doc report) is identical either way.
+CHUNK_W = 16
+
+
+def chunks_col(width: int = CHUNK_W):
+    """md5 hashes of consecutive non-overlapping ``width``-token chunks
+    (full chunks only — a trailing remainder is not a comparable unit).
+    Docs with < width words yield an empty array."""
+    w = _words()
+    n_full = F.floor(F.size(w) / width).cast("int")
+    idx = F.sequence(F.lit(0), n_full - 1)
+    ch = F.transform(
+        idx,
+        lambda c: F.md5(F.concat_ws(" ", F.slice(w, c * width + 1, width))))
+    return F.when(n_full >= 1, ch).otherwise(
+        F.array().cast("array<string>"))
+
+
+def q_dedup_chunk_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-level) dedup — the CCNet/RefinedWeb-style
+    pass that removes boilerplate shared ACROSS documents even when the
+    whole documents differ: hash each doc's consecutive ``CHUNK_W``-token
+    chunks, mark a chunk shared when the same hash occurs in >= 2
+    distinct documents, and report per-doc chunk counts and the shared
+    fraction.
+
+    Scale shape: one explode (linear), one groupBy on (chash, doc_id)
+    (linear, collapses within-doc repeats), one window over chash whose
+    partition size is the chunk's distinct-DOC count (bounded by corpus
+    duplication, never quadratic — no self-join), one groupBy on doc_id.
+    All md5/array expressions JVM-side."""
+    docs = _docs(spark, sf_dir)
+    ch = docs.select("doc_id", F.explode(chunks_col()).alias("chash"))
+    per = ch.groupBy("chash", "doc_id").agg(
+        F.count(F.lit(1)).alias("reps"))
+    cw = Window.partitionBy("chash")
+    shared = per.withColumn("ndocs", F.count(F.lit(1)).over(cw))
+    agg = shared.groupBy("doc_id").agg(
+        F.sum("reps").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct_chunks"),
+        F.sum((F.col("ndocs") >= 2).cast("int")).alias("n_shared_chunks"))
+    return (docs.select("doc_id").join(agg, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_chunks", F.lit(0)).cast("bigint")
+                .alias("n_chunks"),
+                F.coalesce("n_distinct_chunks", F.lit(0)).cast("bigint")
+                .alias("n_distinct_chunks"),
+                F.coalesce("n_shared_chunks", F.lit(0)).cast("bigint")
+                .alias("n_shared_chunks"),
+                F.coalesce(
+                    _r6(F.col("n_shared_chunks").cast("double")
+                        / F.col("n_distinct_chunks")),
+                    F.lit(0.0)).alias("shared_chunk_frac"))
+            .orderBy("doc_id"))
+
+
+ORACLE_DEDUP_CHUNK_CROSSDOC = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), ch AS (
+  SELECT doc_id,
+         unnest([md5(array_to_string(
+                  words[(c*{CHUNK_W}+1):(c*{CHUNK_W}+{CHUNK_W})], ' '))
+                 for c in range(0, length(words) // {CHUNK_W})]) AS chash
+  FROM w
+), per AS (
+  SELECT chash, doc_id, COUNT(*) AS reps FROM ch GROUP BY chash, doc_id
+), sh AS (
+  SELECT doc_id, reps,
+         COUNT(*) OVER (PARTITION BY chash) AS ndocs
+  FROM per
+), agg AS (
+  SELECT doc_id,
+         SUM(reps)::BIGINT AS n_chunks,
+         COUNT(*)::BIGINT AS n_distinct_chunks,
+         SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT
+           AS n_shared_chunks
+  FROM sh GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_chunks, 0)::BIGINT AS n_chunks,
+       COALESCE(a.n_distinct_chunks, 0)::BIGINT AS n_distinct_chunks,
+       COALESCE(a.n_shared_chunks, 0)::BIGINT AS n_shared_chunks,
+       COALESCE(FLOOR(a.n_shared_chunks::DOUBLE / a.n_distinct_chunks
+                      * 1000000 + 0.5) / 1000000, 0.0)
+         AS shared_chunk_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_chunk_crossdoc": q_dedup_chunk_crossdoc,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -641,6 +738,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_chunk_crossdoc": ORACLE_DEDUP_CHUNK_CROSSDOC,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,

@@ -227,11 +227,109 @@ ORDER BY doc_id
 """
 
 
+def _ngram_col(w, n: int):
+    """Non-distinct word n-grams (repetition metrics need multiplicity,
+    unlike dedup's distinct shingles).  Docs with < n words yield an
+    empty array (guard the descending F.sequence)."""
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    g = F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j + 1).cast("int"))
+                   for j in range(n)]))
+    return F.when(F.size(w) >= n, g).otherwise(
+        F.array().cast("array<string>"))
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style REPETITION filters (Rae et al. 2021 §A1.1): fraction
+    of tokens claimed by the single most frequent unigram / bigram, and
+    the fraction of trigrams that occur more than once — the signals a
+    web-curation pipeline uses to drop boilerplate and degenerate
+    machine-generated text.  (The reference corpus has no newlines, so
+    the duplicate-LINE variants degenerate; the n-gram family is the
+    meaningful subset here.)
+
+    Scale shape: explode to (doc_id, k, gram) rows, one groupBy on that
+    composite key, one groupBy on doc_id — both linear, both doc-keyed
+    (a gram never leaves its document, so no cross-doc hot keys); all
+    expressions JVM-side."""
+    docs = _docs(spark, sf_dir)
+    w = words_col()
+    base = docs.select("doc_id", w.alias("w1"),
+                       _ngram_col(w, 2).alias("w2"),
+                       _ngram_col(w, 3).alias("w3"))
+    long = None
+    for k in (1, 2, 3):
+        part = base.select("doc_id", F.lit(k).alias("k"),
+                           F.explode(f"w{k}").alias("g"))
+        long = part if long is None else long.unionByName(part)
+    cnt = long.groupBy("doc_id", "k", "g").agg(
+        F.count(F.lit(1)).alias("c"))
+    per = cnt.groupBy("doc_id", "k").agg(
+        F.max("c").alias("top"),
+        F.sum("c").alias("tot"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup"))
+
+    def pick(k: int, col: str):
+        return F.max(F.when(F.col("k") == k, F.col(col)))
+
+    return (per.groupBy("doc_id").agg(
+        pick(1, "tot").cast("bigint").alias("n_tokens"),
+        _r6(pick(1, "top").cast("double") / pick(1, "tot"))
+        .alias("top_unigram_frac"),
+        F.coalesce(_r6(pick(2, "top").cast("double") / pick(2, "tot")),
+                   F.lit(0.0)).alias("top_bigram_frac"),
+        F.coalesce(_r6(pick(3, "dup").cast("double") / pick(3, "tot")),
+                   F.lit(0.0)).alias("dup_trigram_frac"))
+        .orderBy("doc_id"))
+
+
+ORACLE_TEXT_REPETITION = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id, 1 AS k, unnest(words) AS g FROM w
+  UNION ALL
+  SELECT doc_id, 2 AS k,
+         unnest([array_to_string(words[i:i+1], ' ')
+                 for i in range(1, length(words))]) AS g
+  FROM w
+  UNION ALL
+  SELECT doc_id, 3 AS k,
+         unnest([array_to_string(words[i:i+2], ' ')
+                 for i in range(1, length(words) - 1)]) AS g
+  FROM w
+), c AS (
+  SELECT doc_id, k, g, COUNT(*) AS c FROM g GROUP BY doc_id, k, g
+), p AS (
+  SELECT doc_id, k, MAX(c) AS top, SUM(c) AS tot,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+  FROM c GROUP BY doc_id, k
+)
+SELECT doc_id,
+       MAX(CASE WHEN k = 1 THEN tot END)::BIGINT AS n_tokens,
+       FLOOR(MAX(CASE WHEN k = 1 THEN top END)::DOUBLE
+             / MAX(CASE WHEN k = 1 THEN tot END) * 1000000 + 0.5) / 1000000
+         AS top_unigram_frac,
+       COALESCE(FLOOR(MAX(CASE WHEN k = 2 THEN top END)::DOUBLE
+             / MAX(CASE WHEN k = 2 THEN tot END) * 1000000 + 0.5) / 1000000,
+             0.0) AS top_bigram_frac,
+       COALESCE(FLOOR(MAX(CASE WHEN k = 3 THEN dup END)::DOUBLE
+             / MAX(CASE WHEN k = 3 THEN tot END) * 1000000 + 0.5) / 1000000,
+             0.0) AS dup_trigram_frac
+FROM p
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "token_counts": q_token_counts,
+    "text_repetition": q_text_repetition,
 }
 
 ORACLES = {
@@ -239,4 +337,5 @@ ORACLES = {
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "token_counts": ORACLE_TOKEN_COUNTS,
+    "text_repetition": ORACLE_TEXT_REPETITION,
 }

@@ -643,3 +643,89 @@ def test_sample_stratified_and_contamination_invariants(spark):
     # the synthetic corpus's template cliques span sources, so a broken
     # shingle join (zero hits everywhere) must FAIL here
     assert c["n_contaminated"].sum() > 0
+
+
+def test_text_repetition_invariants(spark):
+    """Gopher repetition metrics: fractions live in (0, 1], n_tokens
+    agrees with the whitespace tokenization, and the top-unigram
+    fraction is bounded below by 1/n (some word must reach the mean)."""
+    from atr_adaptive_laguerre_spark.operators.text import (
+        q_text_repetition, q_token_counts,
+    )
+
+    rep = q_text_repetition(spark, SF).toPandas().set_index("doc_id")
+    tc = q_token_counts(spark, SF).toPandas().set_index("doc_id")
+    assert rep.index.equals(tc.index.sort_values())
+    assert (rep["n_tokens"] == tc.loc[rep.index, "ws_tokens"]).all()
+    for c in ("top_unigram_frac", "top_bigram_frac", "dup_trigram_frac"):
+        assert ((rep[c] >= 0) & (rep[c] <= 1)).all(), c
+    assert (rep["top_unigram_frac"] >= 1.0 / rep["n_tokens"] - 1e-6).all()
+    # bigrams repeat at most as sharply as unigrams: the top bigram's
+    # count <= the top unigram's count while totals differ by one
+    n = rep["n_tokens"].astype(float)
+    top_uni = rep["top_unigram_frac"] * n
+    top_bi = rep["top_bigram_frac"] * (n - 1)
+    assert (top_bi <= top_uni + 1e-3).all()
+
+
+def test_chunk_crossdoc_invariants(spark):
+    """Sub-document chunk dedup: chunk counts match floor(words/W),
+    distinct <= total, shared <= distinct, and the shared flag is
+    symmetric (a chunk hash shared by doc A is shared by >= 2 docs)."""
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        CHUNK_W, chunks_col, q_dedup_chunk_crossdoc,
+    )
+    from atr_adaptive_laguerre_spark.operators.io import read_table
+    from pyspark.sql import functions as F
+
+    rep = q_dedup_chunk_crossdoc(spark, SF).toPandas().set_index("doc_id")
+    assert (rep["n_distinct_chunks"] <= rep["n_chunks"]).all()
+    assert (rep["n_shared_chunks"] <= rep["n_distinct_chunks"]).all()
+    assert ((rep["shared_chunk_frac"] >= 0)
+            & (rep["shared_chunk_frac"] <= 1)).all()
+
+    docs = read_table(spark, SF, "documents")
+    words = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("nw"),
+        F.size(chunks_col()).alias("nc")).toPandas().set_index("doc_id")
+    expect = (words["nw"] // CHUNK_W).astype("int64")
+    assert (words["nc"] == expect).all()
+    assert (rep["n_chunks"] == expect.loc[rep.index]).all()
+
+    # symmetry: recompute the per-doc shared-chunk count from the raw
+    # explode (a chunk is shared iff >= 2 distinct docs hold its hash)
+    # and compare exactly
+    ch = (docs.select("doc_id", F.explode(chunks_col()).alias("h"))
+          .distinct())
+    nd = ch.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    expect_shared = (
+        ch.join(nd, "h")
+        .groupBy("doc_id")
+        .agg(F.sum((F.col("nd") >= 2).cast("long")).alias("ns"))
+        .toPandas().set_index("doc_id")["ns"])
+    got = rep["n_shared_chunks"]
+    assert (got.loc[expect_shared.index] == expect_shared).all()
+    assert got.drop(expect_shared.index, errors="ignore").eq(0).all()
+    # the synthetic corpus's template cliques guarantee cross-doc hits
+    assert got.sum() > 0
+
+
+def test_domain_mix_weights(spark):
+    """Temperature-scaled mixture weights: both weight columns sum to 1
+    (up to r6 quantization), and T=2 strictly flattens — the largest
+    domain's mix weight never exceeds its natural weight and the
+    smallest domain's never falls below it."""
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        q_corpus_domain_mix,
+    )
+
+    mix = q_corpus_domain_mix(spark, SF).toPandas()
+    eps = 1e-6 * len(mix) + 1e-9
+    assert abs(mix["natural_weight"].sum() - 1.0) <= eps
+    assert abs(mix["mix_weight_t2"].sum() - 1.0) <= eps
+    big = mix.loc[mix["tokens"].idxmax()]
+    small = mix.loc[mix["tokens"].idxmin()]
+    assert big["mix_weight_t2"] <= big["natural_weight"] + 1e-6
+    assert small["mix_weight_t2"] >= small["natural_weight"] - 1e-6
+    assert (mix["n_docs"] > 0).all() and (mix["tokens"] > 0).all()

@@ -40,6 +40,11 @@ OPERATOR_QUERIES = [
     "dedup_embedding_cosine",
     "multimodal_audio_stats",
     "multimodal_image_stats",
+    "dedup_chunk_crossdoc",
+    "text_repetition",
+    "corpus_domain_mix",
+    "contamination_check",
+    "corpus_sample_stratified",
 ]
 
 
