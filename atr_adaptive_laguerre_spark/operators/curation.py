@@ -580,9 +580,96 @@ ORDER BY source
 """
 
 
+#: training context length (tokens) for sequence packing
+SEQ_LEN = 256
+#: doc_ids per prefix-sum bucket: the level-2 window sees
+#: corpus_size / PACK_BUCKET_W rows (244k rows at 10^9 docs — a few MB;
+#: recurse the same two-level construction once more at 10^12+)
+PACK_BUCKET_W = 4096
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: documents are
+    concatenated in doc_id order and cut into fixed ``SEQ_LEN``-token
+    training sequences; per doc, report its global token offset, the
+    first/last sequence it lands in, and how many sequences it spans
+    (spans > 1 mean the doc is split across context windows).
+
+    Scale shape — a DISTRIBUTED PREFIX SUM, not a global window: a
+    naive ``sum() over (order by doc_id)`` moves the whole corpus to
+    one partition.  Instead (the classic two-level scan): (1) bucket
+    docs by ``doc_id div PACK_BUCKET_W`` and take the within-bucket
+    running sum — a window partitioned by bucket, fully parallel;
+    (2) aggregate per-bucket token totals (linear groupBy) and take
+    the running sum over BUCKETS — a single-partition window over only
+    corpus/4096 rows; (3) join the bucket offsets back on the bucket
+    key (AQE broadcasts the small aggregate side on its own — no
+    forced hint, mirroring the curation drop-set lesson).  All
+    sequence indices are exact integer arithmetic (``div``, no double
+    division), so the DuckDB twin is bit-equal at any corpus size."""
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(words_col()).cast("bigint").alias("n_tokens"),
+        F.expr(f"doc_id div {PACK_BUCKET_W}").alias("bkt"))
+    wl = (Window.partitionBy("bkt").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    d = d.withColumn(
+        "local_off", F.coalesce(F.sum("n_tokens").over(wl), F.lit(0)))
+    wb = (Window.orderBy("bkt")       # O(corpus/4096) rows by design
+          .rowsBetween(Window.unboundedPreceding, -1))
+    tot = (d.groupBy("bkt").agg(F.sum("n_tokens").alias("bkt_tokens"))
+           .withColumn("bkt_off",
+                       F.coalesce(F.sum("bkt_tokens").over(wb), F.lit(0)))
+           .select("bkt", "bkt_off"))
+    packed = (d.join(tot, "bkt")
+              .withColumn("tok_offset",
+                          (F.col("bkt_off") + F.col("local_off"))
+                          .cast("bigint")))
+    first = F.expr(f"tok_offset div {SEQ_LEN}")
+    last = F.expr(f"(tok_offset + n_tokens - 1) div {SEQ_LEN}")
+    empty = F.col("n_tokens") == 0
+    return (packed.select(
+        "doc_id", "n_tokens", "tok_offset",
+        first.cast("bigint").alias("first_seq"),
+        F.when(empty, first).otherwise(last).cast("bigint")
+        .alias("last_seq"),
+        F.when(empty, F.lit(0)).otherwise(last - first + 1)
+        .cast("bigint").alias("n_seqs_spanned"))
+        .orderBy("doc_id"))
+
+
+ORACLE_SEQUENCE_PACKING = f"""
+WITH d AS (
+  SELECT doc_id,
+         length(regexp_split_to_array(trim(lower(text)),
+                '\\s+'))::BIGINT AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0)::BIGINT AS tok_offset
+  FROM d
+)
+SELECT doc_id, n_tokens, tok_offset,
+       (tok_offset // {SEQ_LEN})::BIGINT AS first_seq,
+       (CASE WHEN n_tokens = 0 THEN tok_offset // {SEQ_LEN}
+             ELSE (tok_offset + n_tokens - 1) // {SEQ_LEN}
+        END)::BIGINT AS last_seq,
+       (CASE WHEN n_tokens = 0 THEN 0
+             ELSE (tok_offset + n_tokens - 1) // {SEQ_LEN}
+                  - tok_offset // {SEQ_LEN} + 1
+        END)::BIGINT AS n_seqs_spanned
+FROM o
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "corpus_curation": q_corpus_curation,
     "corpus_domain_mix": q_corpus_domain_mix,
+    "sequence_packing": q_sequence_packing,
     "corpus_curation_neardup": q_corpus_curation_neardup,
     "corpus_curation_quantile": q_corpus_curation_quantile,
     "corpus_sample_stratified": q_corpus_sample_stratified,
@@ -593,6 +680,7 @@ QUERIES = {
 ORACLES = {
     "corpus_curation": ORACLE_CORPUS_CURATION,
     "corpus_domain_mix": ORACLE_CORPUS_DOMAIN_MIX,
+    "sequence_packing": ORACLE_SEQUENCE_PACKING,
     "corpus_curation_neardup": _oracle_corpus_curation_neardup(),
     "corpus_curation_quantile": ORACLE_CORPUS_CURATION_QUANTILE,
     "corpus_sample_stratified": ORACLE_CORPUS_SAMPLE_STRATIFIED,

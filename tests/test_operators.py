@@ -729,3 +729,27 @@ def test_domain_mix_weights(spark):
     assert big["mix_weight_t2"] <= big["natural_weight"] + 1e-6
     assert small["mix_weight_t2"] >= small["natural_weight"] - 1e-6
     assert (mix["n_docs"] > 0).all() and (mix["tokens"] > 0).all()
+
+
+def test_sequence_packing_prefix_sum(spark):
+    """The distributed two-level prefix sum must equal the exclusive
+    cumulative sum in doc_id order, and sequence spans must match a
+    direct recompute from (offset, n_tokens)."""
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        SEQ_LEN, q_sequence_packing,
+    )
+
+    p = (q_sequence_packing(spark, SF).toPandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    expect_off = p["n_tokens"].cumsum().shift(1, fill_value=0)
+    assert (p["tok_offset"] == expect_off).all()
+    nz = p["n_tokens"] > 0
+    first = p["tok_offset"] // SEQ_LEN
+    last = (p["tok_offset"] + p["n_tokens"] - 1) // SEQ_LEN
+    assert (p.loc[nz, "first_seq"] == first[nz]).all()
+    assert (p.loc[nz, "last_seq"] == last[nz]).all()
+    assert (p.loc[nz, "n_seqs_spanned"] == (last - first + 1)[nz]).all()
+    assert (p.loc[~nz, "n_seqs_spanned"] == 0).all()
+    # packing is tight: total sequences == ceil(total tokens / L)
+    total = int(p["n_tokens"].sum())
+    assert int(p["last_seq"].max()) == (total - 1) // SEQ_LEN

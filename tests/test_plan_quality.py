@@ -196,3 +196,30 @@ def test_contamination_joins_on_shingle_and_docid_only(spark):
         if "Join" in line and ("SortMerge" in line or "ShuffledHash" in line
                                or "BroadcastHash" in line):
             assert ("s#" in line or "doc_id" in line), line
+
+
+def test_text_repetition_no_gram_shuffle(spark):
+    """The repetition metrics are doc-local sorted-run scans: no
+    hash-partitioned exchange may appear (grams never leave their row) —
+    only the scan-parallelism repartition and the presentation sort."""
+    from atr_adaptive_laguerre_spark.operators.text import (
+        q_text_repetition,
+    )
+
+    plan = _plan(q_text_repetition(spark, SF))
+    assert "hashpartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_sequence_packing_distributed_prefix_sum(spark):
+    """The packing offset must come from the two-level prefix sum: the
+    bucket-offset join stays broadcast (the aggregate side is
+    corpus/4096 rows) and no sort-merge join sneaks in; the only global
+    (empty-key) window runs over the bucket aggregate, after a groupBy."""
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        q_sequence_packing,
+    )
+
+    plan = _plan(q_sequence_packing(spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan

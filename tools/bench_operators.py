@@ -45,6 +45,7 @@ OPERATOR_QUERIES = [
     "corpus_domain_mix",
     "contamination_check",
     "corpus_sample_stratified",
+    "sequence_packing",
 ]
 
 
