@@ -360,12 +360,181 @@ ORDER BY doc_id
 """
 
 
+#: keywords reported per document by tf-idf extraction
+TFIDF_K = 5
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-``TFIDF_K`` keywords by tf·idf — the classic
+    corpus-statistics keyword extractor of a training-data pipeline
+    (topic tagging, cluster labeling, index keys).
+
+    Scale shape: term frequencies are a (doc_id, term)-keyed groupBy
+    (composite key — no term hot-spot); document frequencies aggregate
+    THAT table by term (map-side partial aggregation absorbs the
+    per-doc fan-in, so the term-keyed shuffle carries at most
+    |vocab| × shuffle_partitions rows); the corpus doc count rides in
+    as a 1-row aggregate cross join and the vocabulary-sized idf table
+    joins back by term (both broadcast — plan-asserted, the scored
+    side is never sort-merged).  The top-k window partitions by doc_id.
+    Determinism: idf is ``_r6``-quantized before the tf×idf product
+    (int × quantized-double is exact in binary64), and rank ties break
+    on the term string, so both engines produce identical orderings."""
+    docs = _docs(spark, sf_dir)
+    terms = docs.select("doc_id", F.explode(words_col()).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = dfreq.crossJoin(ndocs).select(
+        "term",
+        _r6(F.log(F.col("n_docs").cast("double") / F.col("df")))
+        .alias("idf"))
+    scored = tf.join(idf, "term").select(
+        "doc_id", "term", "tf",
+        _r6(F.col("tf") * F.col("idf")).alias("score"))
+    from pyspark.sql import Window
+    win = (Window.partitionBy("doc_id")
+           .orderBy(F.desc("score"), F.asc("term")))
+    return (scored.withColumn("rnk", F.row_number().over(win))
+            .filter(F.col("rnk") <= TFIDF_K)
+            .select("doc_id", "rnk", "term", "tf", "score")
+            .orderBy("doc_id", "rnk"))
+
+
+ORACLE_TFIDF_TOPK = f"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
+                        '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM w GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term
+), nd AS (
+  SELECT COUNT(*)::BIGINT AS n_docs FROM documents
+), idf AS (
+  SELECT term,
+         FLOOR(ln(n_docs::DOUBLE / df) * 1000000 + 0.5) / 1000000 AS idf
+  FROM dfq, nd
+), s AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         FLOOR((tf.tf * idf.idf) * 1000000 + 0.5) / 1000000 AS score
+  FROM tf JOIN idf USING (term)
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rnk
+  FROM s
+)
+SELECT doc_id, rnk::INTEGER AS rnk, term, tf, score
+FROM r WHERE rnk <= {TFIDF_K}
+ORDER BY doc_id, rnk
+"""
+
+
+def q_lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style perplexity quality scoring (CCNet / Wenzek et al.
+    2020 idiom): train an add-one-smoothed bigram language model on the
+    corpus itself, then score every document's mean surprisal
+    −(1/n)·Σ ln P(wᵢ|wᵢ₋₁) — low-surprisal docs read like the corpus,
+    high-surprisal docs are outliers (the usual keep/drop signal).
+
+    Scale shape — train-then-score in ONE job, no driver round-trip:
+    per-doc bigram counts are (doc_id, bigram)-keyed; the MODEL
+    (bigram counts, context totals, vocab size) aggregates that table
+    — the model-sized frames join among themselves and back to the
+    doc-grain counts by bigram key (vocab²-bounded side → broadcast at
+    sane vocabularies, key-partitioned hash join otherwise — AQE's
+    call, nothing forced).  Determinism: each distinct bigram's
+    log-probability is quantized ONCE to integer micro-nats
+    (``floor(ln(p)·1e6+0.5)``), so per-doc sums are exact integer
+    arithmetic and the engines cannot drift on accumulation order —
+    the same fixed-point-before-sum trick as the domain-mix weights."""
+    docs = _docs(spark, sf_dir)
+    w = words_col()
+    b = docs.select("doc_id", F.explode(_ngram_col(w, 2)).alias("bg"))
+    cdoc = b.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    c12 = cdoc.groupBy("bg").agg(F.sum("c").alias("c12"))
+    ctx = c12.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "),
+                                            F.lit(1)))
+    c1 = ctx.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (docs.select(F.explode(w).alias("t"))
+             .agg(F.count_distinct("t").alias("v")))
+    model = (ctx.join(c1, "w1").crossJoin(vocab)
+             .select("bg", F.floor(
+                 F.log((F.col("c12") + 1).cast("double")
+                       / (F.col("c1") + F.col("v")))
+                 * 1000000.0 + 0.5).cast("bigint").alias("lp_micro")))
+    agg = (cdoc.join(model, "bg")
+           .groupBy("doc_id")
+           .agg(F.sum(F.col("c") * -F.col("lp_micro")).alias("s_micro"),
+                F.sum("c").alias("n_bigrams"),
+                F.max(-F.col("lp_micro")).alias("mx_micro")))
+    return (docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint")
+        .alias("n_bigrams"),
+        F.coalesce(
+            _r6(F.col("s_micro").cast("double") / F.col("n_bigrams")
+                / 1000000.0),
+            F.lit(0.0)).alias("mean_surprisal"),
+        F.coalesce(_r6(F.col("mx_micro").cast("double") / 1000000.0),
+                   F.lit(0.0)).alias("max_surprisal"))
+        .orderBy("doc_id"))
+
+
+ORACLE_LM_BIGRAM_SURPRISAL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         unnest([array_to_string(words[i:i+1], ' ')
+                 for i in range(1, length(words))]) AS bg
+  FROM w
+), cdoc AS (
+  SELECT doc_id, bg, COUNT(*)::BIGINT AS c FROM b GROUP BY doc_id, bg
+), c12 AS (
+  SELECT bg, SUM(c)::BIGINT AS c12 FROM cdoc GROUP BY bg
+), ctx AS (
+  SELECT bg, c12, split_part(bg, ' ', 1) AS w1 FROM c12
+), c1 AS (
+  SELECT w1, SUM(c12)::BIGINT AS c1 FROM ctx GROUP BY w1
+), vocab AS (
+  SELECT COUNT(DISTINCT t)::BIGINT AS v
+  FROM (SELECT unnest(words) AS t FROM w)
+), model AS (
+  SELECT ctx.bg,
+         FLOOR(ln((ctx.c12 + 1)::DOUBLE / (c1.c1 + vocab.v))
+               * 1000000.0 + 0.5)::BIGINT AS lp_micro
+  FROM ctx JOIN c1 USING (w1), vocab
+), agg AS (
+  SELECT cdoc.doc_id,
+         SUM(cdoc.c * -model.lp_micro)::BIGINT AS s_micro,
+         SUM(cdoc.c)::BIGINT AS n_bigrams,
+         MAX(-model.lp_micro)::BIGINT AS mx_micro
+  FROM cdoc JOIN model USING (bg)
+  GROUP BY cdoc.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+       COALESCE(FLOOR((agg.s_micro::DOUBLE / agg.n_bigrams / 1000000.0)
+                      * 1000000 + 0.5) / 1000000, 0.0) AS mean_surprisal,
+       COALESCE(FLOOR((agg.mx_micro::DOUBLE / 1000000.0)
+                      * 1000000 + 0.5) / 1000000, 0.0) AS max_surprisal
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "token_counts": q_token_counts,
     "text_repetition": q_text_repetition,
+    "tfidf_topk": q_tfidf_topk,
+    "lm_bigram_surprisal": q_lm_bigram_surprisal,
 }
 
 ORACLES = {
@@ -374,4 +543,6 @@ ORACLES = {
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "text_repetition": ORACLE_TEXT_REPETITION,
+    "tfidf_topk": ORACLE_TFIDF_TOPK,
+    "lm_bigram_surprisal": ORACLE_LM_BIGRAM_SURPRISAL,
 }

@@ -753,3 +753,56 @@ def test_sequence_packing_prefix_sum(spark):
     # packing is tight: total sequences == ceil(total tokens / L)
     total = int(p["n_tokens"].sum())
     assert int(p["last_seq"].max()) == (total - 1) // SEQ_LEN
+
+
+def test_tfidf_topk_invariants(spark):
+    """Top-k keyword extraction: contiguous ranks, non-increasing
+    scores within a doc, distinct terms per doc, and score == tf*idf
+    with idf recomputed from first principles."""
+    import math
+
+    from atr_adaptive_laguerre_spark.operators.text import (
+        TFIDF_K, q_tfidf_topk,
+    )
+
+    p = q_tfidf_topk(spark, SF).toPandas()
+    assert p.groupby("doc_id")["rnk"].apply(
+        lambda r: (sorted(r) == list(range(1, len(r) + 1)))).all()
+    assert (p.groupby("doc_id")["rnk"].size() <= TFIDF_K).all()
+    assert p.groupby("doc_id")["term"].nunique().equals(
+        p.groupby("doc_id")["term"].size())
+    for _, g in p.groupby("doc_id"):
+        s = g.sort_values("rnk")["score"].to_numpy()
+        assert (s[:-1] >= s[1:] - 1e-12).all()
+    # recompute idf for one (doc, term) pair from the raw corpus
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    words = docs["text"].str.strip().str.lower().str.split(r"\s+")
+    n_docs = len(docs)
+    row = p.iloc[0]
+    df_term = sum(row["term"] in ws for ws in words)
+    idf = math.floor(math.log(n_docs / df_term) * 1e6 + 0.5) / 1e6
+    expect = math.floor(row["tf"] * idf * 1e6 + 0.5) / 1e6
+    assert abs(row["score"] - expect) < 1e-9
+
+
+def test_lm_bigram_surprisal_invariants(spark):
+    """Bigram-LM scoring: one row per doc, n_bigrams == n_tokens-1,
+    surprisal positive where defined, and the doc-level max bounds the
+    mean."""
+    from atr_adaptive_laguerre_spark.operators.text import (
+        q_lm_bigram_surprisal,
+    )
+
+    p = (q_lm_bigram_surprisal(spark, SF).toPandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    docs = (spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert len(p) == len(docs)
+    n_tok = docs["text"].str.strip().str.lower().str.split(r"\s+") \
+        .map(len)
+    assert (p["n_bigrams"] == (n_tok - 1).clip(lower=0)).all()
+    nz = p["n_bigrams"] > 0
+    assert (p.loc[nz, "mean_surprisal"] > 0).all()
+    assert (p.loc[nz, "max_surprisal"]
+            >= p.loc[nz, "mean_surprisal"] - 1e-9).all()
+    assert (p.loc[~nz, "mean_surprisal"] == 0).all()

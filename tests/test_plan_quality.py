@@ -223,3 +223,30 @@ def test_sequence_packing_distributed_prefix_sum(spark):
     plan = _plan(q_sequence_packing(spark, SF))
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") == 1, plan
+
+
+def test_tfidf_no_sort_merge_join(spark):
+    """tf-idf scoring joins the vocabulary-sized idf table and a 1-row
+    corpus count back to doc-grain counts: no sort-merge join may
+    appear, and the only cross join is the 1-row count broadcast."""
+    from atr_adaptive_laguerre_spark.operators.text import q_tfidf_topk
+
+    plan = _plan(q_tfidf_topk(spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_lm_surprisal_model_joins_stay_small(spark):
+    """The bigram-LM model frames (bigram counts, context totals,
+    vocab) join among themselves and to the doc-grain counts without a
+    sort-merge join; the only SMJ allowed is the final doc-grain left
+    join on doc_id (corpus x corpus on the natural key — the correct
+    plan at scale), and the only cross join is the 1-row vocab size."""
+    from atr_adaptive_laguerre_spark.operators.text import (
+        q_lm_bigram_surprisal,
+    )
+
+    plan = _plan(q_lm_bigram_surprisal(spark, SF))
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert "SortMergeJoin [doc_id" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan

@@ -46,6 +46,8 @@ OPERATOR_QUERIES = [
     "contamination_check",
     "corpus_sample_stratified",
     "sequence_packing",
+    "tfidf_topk",
+    "lm_bigram_surprisal",
 ]
 
 
