@@ -580,6 +580,208 @@ ORDER BY source
 """
 
 
+#: mixture sampling: keep 1/MIX_BUDGET_DEN of the corpus token mass
+MIX_BUDGET_DEN = 2
+
+
+def q_corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling — the step that turns the T=2
+    domain-mix WEIGHTS (``corpus_domain_mix``) into an actual training
+    subset: each source's token target is its mixture share of a global
+    budget (here ``total_tokens / MIX_BUDGET_DEN``), its sampling rate
+    is ``min(1, target/tokens)``, and each document keeps or drops by a
+    pure salted hash of its id — reproducible across runs, engines,
+    corpus sizes, and partitionings (the ``train_val_split`` property).
+    Up-sampled-beyond-capacity domains cap at rate 1 (epoch repetition
+    is a training-loader concern, not a corpus-sampling one).
+
+    Scale shape: one tiny-key groupBy over ``source`` (map-side partial
+    aggregation; domains are O(100) at 100 TB) + a window over that
+    O(#sources) aggregate; the rate table joins back to doc grain on
+    ``source`` (broadcast — plan-asserted); the keep decision is a
+    stateless per-row expression.  Determinism: rates live in exact
+    PPM integers; the only float steps (budget/Σsq6, target/tokens) are
+    single correctly-rounded binary64 ops on identical inputs, so both
+    engines floor the same values."""
+    docs = read_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words_col())).alias("tokens"))
+    per = per.withColumn(
+        "sq6", F.floor(F.sqrt(F.col("tokens").cast("double"))
+                       * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"))
+    w = Window.partitionBy()       # O(#sources) rows by construction
+    budget = F.expr(f"sum(tokens) over () div {MIX_BUDGET_DEN}")
+    rates = (per
+             .withColumn("target_tokens",
+                         F.floor(budget.cast("double")
+                                 / F.sum("sq6").over(w).cast("double")
+                                 * F.col("sq6").cast("double"))
+                         .cast("bigint"))
+             .withColumn("rate_ppm",
+                         F.least(F.lit(1000000).cast("bigint"),
+                                 F.floor(F.col("target_tokens")
+                                         .cast("double")
+                                         / F.col("tokens").cast("double")
+                                         * 1000000.0).cast("bigint"))))
+    ppm = (F.conv(F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+        1, 8), 16, 10).cast("bigint") % 1000000)
+    kept = (docs.select("source", "doc_id",
+                        F.size(words_col()).cast("bigint")
+                        .alias("doc_tokens"),
+                        ppm.alias("ppm"))
+            .join(rates.select("source", "rate_ppm"), "source")
+            .withColumn("keep", (F.col("ppm") < F.col("rate_ppm"))
+                        .cast("bigint")))
+    keptagg = kept.groupBy("source").agg(
+        F.sum("keep").alias("n_kept"),
+        F.sum(F.col("keep") * F.col("doc_tokens")).alias("tokens_kept"))
+    return (rates.join(keptagg, "source")
+            .select("source", "n_docs", "tokens", "target_tokens",
+                    "rate_ppm", "n_kept", "tokens_kept")
+            .orderBy("source"))
+
+
+ORACLE_CORPUS_MIX_SAMPLE = f"""
+WITH per AS (
+  SELECT source, COUNT(*)::BIGINT AS n_docs,
+         SUM(length(regexp_split_to_array(trim(lower(text)),
+             '\\s+')))::BIGINT AS tokens
+  FROM documents GROUP BY source
+), q AS (
+  SELECT source, n_docs, tokens,
+         CAST(FLOOR(sqrt(tokens::DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           AS sq6
+  FROM per
+), rates AS (
+  SELECT source, n_docs, tokens,
+         FLOOR(((SUM(tokens) OVER () // {MIX_BUDGET_DEN})::DOUBLE
+                / (SUM(sq6) OVER ())::DOUBLE) * sq6::DOUBLE)::BIGINT
+           AS target_tokens
+  FROM q
+), r2 AS (
+  SELECT *,
+         LEAST(1000000,
+               FLOOR(target_tokens::DOUBLE / tokens::DOUBLE
+                     * 1000000.0)::BIGINT) AS rate_ppm
+  FROM rates
+), kept AS (
+  SELECT d.source,
+         length(regexp_split_to_array(trim(lower(d.text)),
+                '\\s+'))::BIGINT AS doc_tokens,
+         (('0x' || substr(md5(d.doc_id::VARCHAR || ':mix'), 1, 8))
+          ::BIGINT % 1000000 < r2.rate_ppm)::BIGINT AS keep
+  FROM documents d JOIN r2 USING (source)
+)
+SELECT r2.source, r2.n_docs, r2.tokens, r2.target_tokens, r2.rate_ppm,
+       SUM(kept.keep)::BIGINT AS n_kept,
+       SUM(kept.keep * kept.doc_tokens)::BIGINT AS tokens_kept
+FROM r2 JOIN kept ON r2.source = kept.source
+GROUP BY r2.source, r2.n_docs, r2.tokens, r2.target_tokens, r2.rate_ppm
+ORDER BY r2.source
+"""
+
+
+def q_corpus_perplexity_buckets(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §4.3): score every document with the corpus-trained bigram LM
+    (``lm_bigram_surprisal``'s model, shared plan), cut the corpus at
+    the surprisal TERCILES, and report per (source, bucket) document
+    counts and token mass — the standard "train on head+middle, drop
+    tail" curation signal.
+
+    Scale shape: tercile thresholds are rank-defined (type-1) quantiles
+    computed as a HISTOGRAM over milli-nat-quantized scores — the
+    cumulative window runs over distinct score values, whose count is
+    bounded by the score RANGE times the 1e-3 resolution (~20k rows for
+    any corpus size; the ``corpus_curation_quantile`` trick), never by
+    doc count; the 1-row threshold frame broadcasts back.  Bucket
+    membership and thresholds are exact integer comparisons, so both
+    engines agree on every tie."""
+    from atr_adaptive_laguerre_spark.operators.text import (
+        _surprisal_agg,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    sc = (docs.select("doc_id", "source",
+                      F.size(words_col()).cast("bigint")
+                      .alias("n_tokens"))
+          .join(_surprisal_agg(docs), "doc_id", "left")
+          .select("doc_id", "source", "n_tokens",
+                  F.coalesce(
+                      F.floor((F.col("s_micro").cast("double")
+                               / F.col("n_bigrams") / 1000000.0)
+                              * 1000.0 + 0.5).cast("bigint"),
+                      F.lit(0).cast("bigint")).alias("sm")))
+    hist = sc.groupBy("sm").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (Window.orderBy("sm")    # O(score-range/1e-3) rows, not O(N)
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy()
+    hist = (hist.withColumn("cum", F.sum("cnt").over(wcum))
+            .withColumn("tot", F.sum("cnt").over(wall)))
+    thr = hist.agg(
+        F.min(F.when(F.col("cum") >= F.expr("(tot + 2) div 3"),
+                     F.col("sm"))).alias("t33"),
+        F.min(F.when(F.col("cum") >= F.expr("(2 * tot + 2) div 3"),
+                     F.col("sm"))).alias("t66"))
+    bucket = (F.when(F.col("sm") <= F.col("t33"), "head")
+              .when(F.col("sm") <= F.col("t66"), "middle")
+              .otherwise("tail"))
+    return (sc.crossJoin(thr)
+            .select("source", bucket.alias("bucket"), "n_tokens", "sm")
+            .groupBy("source", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("tokens"),
+                 F.min("sm").alias("min_score_milli"),
+                 F.max("sm").alias("max_score_milli"))
+            .orderBy("source", "bucket"))
+
+
+def _oracle_perplexity_buckets() -> str:
+    from atr_adaptive_laguerre_spark.operators.text import SURPRISAL_CTE
+
+    return SURPRISAL_CTE + """
+, sc AS (
+  SELECT d.doc_id, d.source,
+         length(regexp_split_to_array(trim(lower(d.text)),
+                '\\s+'))::BIGINT AS n_tokens,
+         COALESCE(FLOOR((agg.s_micro::DOUBLE / agg.n_bigrams
+                         / 1000000.0) * 1000.0 + 0.5)::BIGINT,
+                  0) AS sm
+  FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+), hist AS (
+  SELECT sm, COUNT(*)::BIGINT AS cnt FROM sc GROUP BY sm
+), cum AS (
+  SELECT sm,
+         SUM(cnt) OVER (ORDER BY sm
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER () AS tot
+  FROM hist
+), thr AS (
+  SELECT MIN(CASE WHEN cum >= (tot + 2) // 3 THEN sm END) AS t33,
+         MIN(CASE WHEN cum >= (2 * tot + 2) // 3 THEN sm END) AS t66
+  FROM cum
+), bk AS (
+  SELECT sc.source,
+         CASE WHEN sc.sm <= thr.t33 THEN 'head'
+              WHEN sc.sm <= thr.t66 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         sc.n_tokens, sc.sm
+  FROM sc, thr
+)
+SELECT source, bucket,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(n_tokens)::BIGINT AS tokens,
+       MIN(sm)::BIGINT AS min_score_milli,
+       MAX(sm)::BIGINT AS max_score_milli
+FROM bk
+GROUP BY source, bucket
+ORDER BY source, bucket
+"""
+
+
 #: training context length (tokens) for sequence packing
 SEQ_LEN = 256
 #: doc_ids per prefix-sum bucket: the level-2 window sees
@@ -669,6 +871,8 @@ ORDER BY doc_id
 QUERIES = {
     "corpus_curation": q_corpus_curation,
     "corpus_domain_mix": q_corpus_domain_mix,
+    "corpus_mix_sample": q_corpus_mix_sample,
+    "corpus_perplexity_buckets": q_corpus_perplexity_buckets,
     "sequence_packing": q_sequence_packing,
     "corpus_curation_neardup": q_corpus_curation_neardup,
     "corpus_curation_quantile": q_corpus_curation_quantile,
@@ -680,6 +884,8 @@ QUERIES = {
 ORACLES = {
     "corpus_curation": ORACLE_CORPUS_CURATION,
     "corpus_domain_mix": ORACLE_CORPUS_DOMAIN_MIX,
+    "corpus_mix_sample": ORACLE_CORPUS_MIX_SAMPLE,
+    "corpus_perplexity_buckets": _oracle_perplexity_buckets(),
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
     "corpus_curation_neardup": _oracle_corpus_curation_neardup(),
     "corpus_curation_quantile": ORACLE_CORPUS_CURATION_QUANTILE,

@@ -432,6 +432,32 @@ ORDER BY doc_id, rnk
 """
 
 
+def _surprisal_agg(docs: DataFrame) -> DataFrame:
+    """Per-doc bigram-LM aggregate (doc_id, s_micro, n_bigrams,
+    mx_micro) — train + score in one plan, shared by the surprisal
+    report and the perplexity-bucket curation query.  Docs with < 2
+    tokens produce no row (the callers left-join and coalesce)."""
+    w = words_col()
+    b = docs.select("doc_id", F.explode(_ngram_col(w, 2)).alias("bg"))
+    cdoc = b.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    c12 = cdoc.groupBy("bg").agg(F.sum("c").alias("c12"))
+    ctx = c12.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "),
+                                            F.lit(1)))
+    c1 = ctx.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (docs.select(F.explode(w).alias("t"))
+             .agg(F.count_distinct("t").alias("v")))
+    model = (ctx.join(c1, "w1").crossJoin(vocab)
+             .select("bg", F.floor(
+                 F.log((F.col("c12") + 1).cast("double")
+                       / (F.col("c1") + F.col("v")))
+                 * 1000000.0 + 0.5).cast("bigint").alias("lp_micro")))
+    return (cdoc.join(model, "bg")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("c") * -F.col("lp_micro")).alias("s_micro"),
+                 F.sum("c").alias("n_bigrams"),
+                 F.max(-F.col("lp_micro")).alias("mx_micro")))
+
+
 def q_lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KenLM-style perplexity quality scoring (CCNet / Wenzek et al.
     2020 idiom): train an add-one-smoothed bigram language model on the
@@ -451,25 +477,7 @@ def q_lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic and the engines cannot drift on accumulation order —
     the same fixed-point-before-sum trick as the domain-mix weights."""
     docs = _docs(spark, sf_dir)
-    w = words_col()
-    b = docs.select("doc_id", F.explode(_ngram_col(w, 2)).alias("bg"))
-    cdoc = b.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
-    c12 = cdoc.groupBy("bg").agg(F.sum("c").alias("c12"))
-    ctx = c12.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "),
-                                            F.lit(1)))
-    c1 = ctx.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    vocab = (docs.select(F.explode(w).alias("t"))
-             .agg(F.count_distinct("t").alias("v")))
-    model = (ctx.join(c1, "w1").crossJoin(vocab)
-             .select("bg", F.floor(
-                 F.log((F.col("c12") + 1).cast("double")
-                       / (F.col("c1") + F.col("v")))
-                 * 1000000.0 + 0.5).cast("bigint").alias("lp_micro")))
-    agg = (cdoc.join(model, "bg")
-           .groupBy("doc_id")
-           .agg(F.sum(F.col("c") * -F.col("lp_micro")).alias("s_micro"),
-                F.sum("c").alias("n_bigrams"),
-                F.max(-F.col("lp_micro")).alias("mx_micro")))
+    agg = _surprisal_agg(docs)
     return (docs.select("doc_id").join(agg, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint")
@@ -483,7 +491,9 @@ def q_lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
-ORACLE_LM_BIGRAM_SURPRISAL = """
+#: shared bigram-LM CTE chain through the per-doc ``agg`` frame — the
+#: SQL twin of :func:`_surprisal_agg`
+SURPRISAL_CTE = """
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
   FROM documents
@@ -515,7 +525,9 @@ WITH w AS (
          MAX(-model.lp_micro)::BIGINT AS mx_micro
   FROM cdoc JOIN model USING (bg)
   GROUP BY cdoc.doc_id
-)
+)"""
+
+ORACLE_LM_BIGRAM_SURPRISAL = SURPRISAL_CTE + """
 SELECT d.doc_id,
        COALESCE(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
        COALESCE(FLOOR((agg.s_micro::DOUBLE / agg.n_bigrams / 1000000.0)

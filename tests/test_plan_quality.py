@@ -250,3 +250,16 @@ def test_lm_surprisal_model_joins_stay_small(spark):
     assert plan.count("SortMergeJoin") == 1, plan
     assert "SortMergeJoin [doc_id" in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_mix_sample_broadcasts_rate_table(spark):
+    """The per-source rate table is O(#sources): both its join back to
+    doc grain and the final report join must broadcast — never
+    sort-merge on the corpus side."""
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        q_corpus_mix_sample,
+    )
+
+    plan = _plan(q_corpus_mix_sample(spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan

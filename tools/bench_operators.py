@@ -48,6 +48,7 @@ OPERATOR_QUERIES = [
     "sequence_packing",
     "tfidf_topk",
     "lm_bigram_surprisal",
+    "corpus_mix_sample",
 ]
 
 
