@@ -782,6 +782,69 @@ ORDER BY source, bucket
 """
 
 
+#: hex chars of the shuffle key that name a bucket: 3 → 4096 buckets;
+#: the level-2 offset window sees 4096 rows for ANY corpus size, and
+#: within-bucket ranking parallelizes over corpus/4096-sized chunks
+SHUFFLE_BUCKET_HEX = 3
+#: output shards for the shuffled write (round-robin by position)
+SHUFFLE_SHARDS = 8
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle — the training-order
+    randomization step that runs between curation and sequence
+    packing: every doc gets a pseudo-random sort key (md5 of its id +
+    salt), a GLOBAL position in that order, and a round-robin output
+    shard.  The permutation is a pure function of doc_id, so it is
+    reproducible across runs, engines, and partitionings, and any
+    subset of the corpus keeps its relative order (the same property
+    ``train_val_split`` pins).
+
+    Scale shape — global ranking WITHOUT a global sort/window (the
+    ``sequence_packing`` two-level scan, keyed by hash instead of id):
+    (1) bucket = first ``SHUFFLE_BUCKET_HEX`` hex chars of the key —
+    because the bucket is a PREFIX of the sort key, bucket-major order
+    equals global key order; (2) within-bucket ``row_number`` over
+    (key, doc_id) — parallel over 4096 buckets; (3) bucket counts →
+    running-sum offsets over a 4096-row window; (4) AQE-broadcast the
+    offsets back.  Nothing single-partition ever sees more than 4096
+    rows; ties are impossible (doc_id tiebreak)."""
+    docs = read_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"),
+                         F.lit(":shuffle")))
+    d = docs.select("doc_id", key.alias("k"),
+                    F.substring(key, 1, SHUFFLE_BUCKET_HEX).alias("bkt"))
+    wl = Window.partitionBy("bkt").orderBy("k", "doc_id")
+    d = d.withColumn("rn", F.row_number().over(wl).cast("bigint"))
+    wb = (Window.orderBy("bkt")   # <= 16^SHUFFLE_BUCKET_HEX rows
+          .rowsBetween(Window.unboundedPreceding, -1))
+    off = (d.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+           .withColumn("off", F.coalesce(F.sum("n").over(wb), F.lit(0)))
+           .select("bkt", "off"))
+    return (d.join(off, "bkt")
+            .select("doc_id",
+                    (F.col("off") + F.col("rn") - 1).cast("bigint")
+                    .alias("shuffle_pos"))
+            .withColumn("shard", F.col("shuffle_pos")
+                        % SHUFFLE_SHARDS)
+            .orderBy("doc_id"))
+
+
+ORACLE_CORPUS_SHUFFLE = f"""
+WITH k AS (
+  SELECT doc_id, md5(doc_id::VARCHAR || ':shuffle') AS k
+  FROM documents
+)
+SELECT doc_id,
+       (ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1)::BIGINT
+         AS shuffle_pos,
+       ((ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1)
+        % {SHUFFLE_SHARDS})::BIGINT AS shard
+FROM k
+ORDER BY doc_id
+"""
+
+
 #: training context length (tokens) for sequence packing
 SEQ_LEN = 256
 #: doc_ids per prefix-sum bucket: the level-2 window sees
@@ -873,6 +936,7 @@ QUERIES = {
     "corpus_domain_mix": q_corpus_domain_mix,
     "corpus_mix_sample": q_corpus_mix_sample,
     "corpus_perplexity_buckets": q_corpus_perplexity_buckets,
+    "corpus_shuffle": q_corpus_shuffle,
     "sequence_packing": q_sequence_packing,
     "corpus_curation_neardup": q_corpus_curation_neardup,
     "corpus_curation_quantile": q_corpus_curation_quantile,
@@ -886,6 +950,7 @@ ORACLES = {
     "corpus_domain_mix": ORACLE_CORPUS_DOMAIN_MIX,
     "corpus_mix_sample": ORACLE_CORPUS_MIX_SAMPLE,
     "corpus_perplexity_buckets": _oracle_perplexity_buckets(),
+    "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
     "corpus_curation_neardup": _oracle_corpus_curation_neardup(),
     "corpus_curation_quantile": ORACLE_CORPUS_CURATION_QUANTILE,

@@ -539,6 +539,223 @@ ORDER BY d.doc_id
 """
 
 
+#: PII patterns — written to behave identically under Java regex
+#: (Spark) and RE2 (DuckDB): no ambiguous alternations/quantifiers
+#: where backtracking (leftmost-greedy) and leftmost-longest could
+#: pick different matches
+PII_PATTERNS = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+     "<EMAIL>"),
+    ("phone", r"\d{3}[-.]\d{3}[-.]\d{4}", "<PHONE>"),
+    ("ip", r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
+)
+
+
+def pii_scrub_cols(docs: DataFrame) -> DataFrame:
+    """Per-doc PII detection + redaction (the C4 / RefinedWeb scrub
+    step): counts per pattern class, a redacted text column (every
+    match replaced by its class token, applied email → phone → ip so
+    the output is order-deterministic), and the char-length delta.
+
+    Stateless per-row Catalyst expressions — no shuffle, no Python;
+    at 100 TB this pipelines inside the scan stage.  The synthetic
+    catalog tables contain no PII (counts are all zero there); the
+    cross-engine regex semantics are pinned by
+    ``tests/test_operators.py::test_pii_scrub_planted`` on a planted
+    frame run through BOTH engines."""
+    red = F.col("text")
+    for _, pat, tok in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tok)
+    cols = [docs["*"]]
+    for name, pat, _ in PII_PATTERNS:
+        cols.append(F.regexp_count(F.col("text"), F.lit(pat))
+                    .cast("bigint").alias(f"n_{name}"))
+    return (docs.select(*cols)
+            .withColumn("redacted", red)
+            .withColumn("chars_delta",
+                        (F.length("text") - F.length("redacted"))
+                        .cast("bigint")))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PII audit: per-source match counts, docs touched,
+    and total char delta from redaction."""
+    d = pii_scrub_cols(_docs(spark, sf_dir))
+    any_pii = sum(F.col(f"n_{n}") for n, _, _ in PII_PATTERNS)
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_email").alias("n_email"),
+                 F.sum("n_phone").alias("n_phone"),
+                 F.sum("n_ip").alias("n_ip"),
+                 F.sum((any_pii > 0).cast("bigint"))
+                 .alias("docs_with_pii"),
+                 F.sum("chars_delta").alias("chars_delta"))
+            .orderBy("source"))
+
+
+def _pii_oracle_exprs(text: str = "text") -> tuple[str, str, str, str]:
+    """DuckDB twins of the per-doc scrub expressions (count per class
+    + fully-redacted text), shared by the catalog oracle and the
+    planted-frame test."""
+    counts = [
+        f"len(regexp_extract_all({text}, '{pat}'))::BIGINT"
+        for _, pat, _ in PII_PATTERNS
+    ]
+    red = text
+    for _, pat, tok in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    return counts[0], counts[1], counts[2], red
+
+
+ORACLE_PII_SCRUB = """
+WITH d AS (
+  SELECT source,
+         {e} AS n_email, {p} AS n_phone, {i} AS n_ip,
+         (length(text) - length({r}))::BIGINT AS chars_delta
+  FROM documents
+)
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+       SUM(n_email)::BIGINT AS n_email,
+       SUM(n_phone)::BIGINT AS n_phone,
+       SUM(n_ip)::BIGINT AS n_ip,
+       SUM((n_email + n_phone + n_ip > 0)::INT)::BIGINT
+         AS docs_with_pii,
+       SUM(chars_delta)::BIGINT AS chars_delta
+FROM d
+GROUP BY source
+ORDER BY source
+""".format(e=_pii_oracle_exprs()[0], p=_pii_oracle_exprs()[1],
+           i=_pii_oracle_exprs()[2], r=_pii_oracle_exprs()[3])
+
+
+#: positive ("high-quality reference") class for the NB quality
+#: classifier — same corpus slice `contamination_check` treats as the
+#: benchmark set (curation.BENCHMARK_SOURCE; redefined here to avoid a
+#: circular import: curation already imports this module's CTEs)
+QUALITY_POS_SOURCE = "src0"
+
+
+def nb_classifier_scores(docs: DataFrame) -> DataFrame:
+    """Train + apply a naive-Bayes 'quality' classifier in one plan —
+    the GPT-3 / PaLM quality-filter idiom (classifier trained with a
+    trusted corpus as the positive class, scores gate the crawl; GPT-3
+    paper appendix A): positive class = ``QUALITY_POS_SOURCE`` docs,
+    negative = everything else; per-token add-one-smoothed
+    log-likelihood ratios; per-doc score = class prior + Σ c(t)·llr(t).
+
+    Determinism: each llr is quantized to micro-nats (``floor(x*1e6
+    +0.5)``) BEFORE the per-doc sum, so accumulation is exact integer
+    arithmetic — the fixed-point-before-sum trick every cross-engine
+    float surface in this repo uses.
+
+    Scale shape: the model is one token-keyed groupBy (vocab-linear,
+    map-side partial agg); scoring joins doc-token counts to the model
+    on ``token`` — a plain linear shuffled join, never a corpus
+    self-join; the 1-row totals frame rides a broadcast-NL crossJoin
+    (same plan shape as the bigram LM, plan-asserted there)."""
+    w = words_col()
+    lab = docs.select(
+        "doc_id", (F.col("source") == QUALITY_POS_SOURCE)
+        .cast("int").alias("pos"))
+    tok = docs.select("doc_id", F.explode(w).alias("t"))
+    cdoc = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    cls = (cdoc.join(lab, "doc_id")
+           .groupBy("t")
+           .agg(F.sum(F.col("c") * F.col("pos")).alias("cpos"),
+                F.sum(F.col("c") * (1 - F.col("pos"))).alias("cneg")))
+    totals = cls.agg(F.sum("cpos").alias("npos"),
+                     F.sum("cneg").alias("nneg"),
+                     F.count(F.lit(1)).alias("v"))
+    model = (cls.crossJoin(totals)
+             .select("t", F.floor(
+                 (F.log((F.col("cpos") + 1).cast("double")
+                        / (F.col("npos") + F.col("v")).cast("double"))
+                  - F.log((F.col("cneg") + 1).cast("double")
+                          / (F.col("nneg") + F.col("v")).cast("double")))
+                 * 1000000.0 + 0.5).cast("bigint").alias("llr_micro")))
+    prior = lab.agg(F.floor(
+        (F.log(F.sum("pos").cast("double"))
+         - F.log((F.count(F.lit(1)) - F.sum("pos")).cast("double")))
+        * 1000000.0 + 0.5).cast("bigint").alias("prior_micro"))
+    sc = (cdoc.join(model, "t")
+          .groupBy("doc_id")
+          .agg(F.sum(F.col("c") * F.col("llr_micro")).alias("s_micro"),
+               F.sum("c").alias("n_tokens")))
+    return (docs.select("doc_id").join(sc, "doc_id", "left")
+            .crossJoin(prior)
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint")
+                .alias("n_tokens"),
+                F.coalesce(
+                    F.floor(F.col("s_micro").cast("double")
+                            / F.col("n_tokens").cast("double") / 1000.0
+                            + F.lit(0.5)).cast("bigint"),
+                    F.lit(0).cast("bigint")).alias("score_milli"),
+                (F.coalesce(F.col("s_micro"), F.lit(0))
+                 + F.col("prior_micro") > 0).cast("bigint")
+                .alias("pred_pos")))
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the classifier analog of
+    ``lm_bigram_surprisal``): per-doc NB log-odds of membership in the
+    trusted source, milli-nats/token, plus the hard prediction."""
+    docs = _docs(spark, sf_dir)
+    lab = docs.select("doc_id", (F.col("source") == QUALITY_POS_SOURCE)
+                      .cast("bigint").alias("label_pos"))
+    return (nb_classifier_scores(docs).join(lab, "doc_id")
+            .select("doc_id", "n_tokens", "score_milli", "pred_pos",
+                    "label_pos")
+            .orderBy("doc_id"))
+
+
+ORACLE_QUALITY_CLASSIFIER = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), lab AS (
+  SELECT doc_id, (source = '{QUALITY_POS_SOURCE}')::INT AS pos FROM w
+), tok AS (
+  SELECT doc_id, unnest(words) AS t FROM w
+), cdoc AS (
+  SELECT doc_id, t, COUNT(*)::BIGINT AS c FROM tok GROUP BY doc_id, t
+), cls AS (
+  SELECT t, SUM(c * pos)::BIGINT AS cpos,
+         SUM(c * (1 - pos))::BIGINT AS cneg
+  FROM cdoc JOIN lab USING (doc_id) GROUP BY t
+), totals AS (
+  SELECT SUM(cpos)::BIGINT AS npos, SUM(cneg)::BIGINT AS nneg,
+         COUNT(*)::BIGINT AS v
+  FROM cls
+), model AS (
+  SELECT t, FLOOR((ln((cpos + 1)::DOUBLE / (npos + v)::DOUBLE)
+                   - ln((cneg + 1)::DOUBLE / (nneg + v)::DOUBLE))
+                  * 1000000.0 + 0.5)::BIGINT AS llr_micro
+  FROM cls, totals
+), prior AS (
+  SELECT FLOOR((ln(SUM(pos)::DOUBLE)
+                - ln((COUNT(*) - SUM(pos))::DOUBLE))
+               * 1000000.0 + 0.5)::BIGINT AS prior_micro
+  FROM lab
+), sc AS (
+  SELECT doc_id, SUM(c * llr_micro)::BIGINT AS s_micro,
+         SUM(c)::BIGINT AS n_tokens
+  FROM cdoc JOIN model USING (t) GROUP BY doc_id
+)
+SELECT w.doc_id,
+       COALESCE(sc.n_tokens, 0)::BIGINT AS n_tokens,
+       COALESCE(FLOOR(sc.s_micro::DOUBLE / sc.n_tokens::DOUBLE
+                      / 1000.0 + 0.5)::BIGINT, 0) AS score_milli,
+       (COALESCE(sc.s_micro, 0) + prior.prior_micro > 0)::BIGINT
+         AS pred_pos,
+       (w.source = '{QUALITY_POS_SOURCE}')::BIGINT AS label_pos
+FROM w LEFT JOIN sc ON w.doc_id = sc.doc_id CROSS JOIN prior
+ORDER BY w.doc_id
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -547,6 +764,8 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "tfidf_topk": q_tfidf_topk,
     "lm_bigram_surprisal": q_lm_bigram_surprisal,
+    "quality_classifier": q_quality_classifier,
+    "pii_scrub": q_pii_scrub,
 }
 
 ORACLES = {
@@ -557,4 +776,6 @@ ORACLES = {
     "text_repetition": ORACLE_TEXT_REPETITION,
     "tfidf_topk": ORACLE_TFIDF_TOPK,
     "lm_bigram_surprisal": ORACLE_LM_BIGRAM_SURPRISAL,
+    "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
+    "pii_scrub": ORACLE_PII_SCRUB,
 }

@@ -864,3 +864,87 @@ def test_perplexity_buckets_terciles(spark):
     n_head = int(p.loc[p["bucket"] == "head", "n_docs"].sum())
     assert n_head >= (n + 2) // 3 - 0  # threshold includes the tercile rank
     assert n_head <= n  # and never exceeds the corpus
+
+
+def test_pii_scrub_planted(spark):
+    """The catalog corpus contains no PII, so the cross-engine regex
+    semantics (Java regex vs RE2) are pinned here on a planted frame
+    run through BOTH engines: per-doc counts AND the redacted text
+    must agree exactly."""
+    import duckdb
+    import pandas as pd
+
+    from atr_adaptive_laguerre_spark.operators.text import (
+        _pii_oracle_exprs, pii_scrub_cols,
+    )
+
+    rows = [
+        (0, "contact bob.smith+spam@mail.example.org today"),
+        (1, "call 555-867-5309 or 555.867.5309 x2"),
+        (2, "server at 10.0.255.3 and 192.168.1.1."),
+        (3, "a@b.co nested e.mail@sub.domain.io twice a@b.co"),
+        (4, "no pii here at all"),
+        (5, "edge 1234.5.6.7 not-an-ip 999.999.999.999 is counted"),
+        (6, ""),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    got = (pii_scrub_cols(spark.createDataFrame(pdf))
+           .select("doc_id", "n_email", "n_phone", "n_ip", "redacted",
+                   "chars_delta")
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    e, p, i, r = _pii_oracle_exprs()
+    want = con.sql(
+        f"SELECT doc_id, {e} AS n_email, {p} AS n_phone, {i} AS n_ip, "
+        f"{r} AS redacted, "
+        f"(length(text) - length({r}))::BIGINT AS chars_delta "
+        f"FROM docs ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(
+        got.astype({"n_email": "int64", "n_phone": "int64",
+                    "n_ip": "int64", "chars_delta": "int64"}),
+        want.astype({"n_email": "int64", "n_phone": "int64",
+                     "n_ip": "int64", "chars_delta": "int64"}))
+    # sanity on the planted values themselves
+    assert got["n_email"].tolist() == [1, 0, 0, 3, 0, 0, 0]
+    assert got["n_phone"].tolist() == [0, 2, 0, 0, 0, 0, 0]
+    assert "<EMAIL>" in got.loc[0, "redacted"]
+    assert "<PHONE>" in got.loc[1, "redacted"]
+    assert "<IP>" in got.loc[2, "redacted"]
+
+
+def test_quality_classifier_separates_sources(spark):
+    """NB classifier invariants: scores exist for every doc, empty
+    docs score 0, and the positive-source mean score exceeds the
+    negative mean (the model must at least separate its own training
+    classes in-sample)."""
+    from atr_adaptive_laguerre_spark.operators.text import (
+        q_quality_classifier,
+    )
+
+    p = q_quality_classifier(spark, SF).toPandas()
+    assert p["doc_id"].is_unique
+    assert (p.loc[p["n_tokens"] == 0, "score_milli"] == 0).all()
+    pos = p.loc[p["label_pos"] == 1, "score_milli"]
+    neg = p.loc[p["label_pos"] == 0, "score_milli"]
+    if len(pos) and len(neg):
+        assert pos.mean() > neg.mean()
+
+
+def test_corpus_shuffle_is_permutation(spark):
+    """Shuffle positions must be a bijection onto [0, n), shards must
+    round-robin, and the permutation must actually deviate from id
+    order (it's a shuffle, not a sort)."""
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        SHUFFLE_SHARDS, q_corpus_shuffle,
+    )
+
+    p = (q_corpus_shuffle(spark, SF).toPandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    n = len(p)
+    assert sorted(p["shuffle_pos"]) == list(range(n))
+    assert (p["shard"] == p["shuffle_pos"] % SHUFFLE_SHARDS).all()
+    # not the identity (or reverse) permutation
+    assert (p["shuffle_pos"] != p.index).any()
+    assert (p["shuffle_pos"] != n - 1 - p.index).any()

@@ -263,3 +263,46 @@ def test_mix_sample_broadcasts_rate_table(spark):
     plan = _plan(q_corpus_mix_sample(spark, SF))
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") == 2, plan
+
+
+def test_corpus_shuffle_two_level_scan(spark):
+    """Global shuffle positions must come from the bucketed two-level
+    scan: bucket-offset join broadcast, no sort-merge join, and no
+    window over the full corpus without a partition key (the only
+    empty-key window runs over the <=4096-row bucket aggregate)."""
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        q_corpus_shuffle,
+    )
+
+    plan = _plan(q_corpus_shuffle(spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+
+
+def test_pii_scrub_single_shuffle(spark):
+    """PII scrub is stateless per-row work: exactly one exchange (the
+    per-source report groupBy) and zero joins."""
+    from atr_adaptive_laguerre_spark.operators.text import q_pii_scrub
+
+    plan = _plan(q_pii_scrub(spark, SF))
+    assert "Join" not in plan, plan
+    # one hash exchange for the report agg (plus the final sort and
+    # the small-scan parallelism-guard repartition, which vanishes on
+    # a properly-split corpus)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # regex work happens on a pruned 2-column scan
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in rs and "doc_id" not in rs, rs
+
+
+def test_quality_classifier_join_shapes(spark):
+    """NB classifier: model-side joins are token/doc keyed SMJs (both
+    sides corpus-scale — correct at 100 TB); the 1-row totals and
+    prior frames must ride broadcast-NL crossjoins, never shuffle."""
+    from atr_adaptive_laguerre_spark.operators.text import (
+        q_quality_classifier,
+    )
+
+    plan = _plan(q_quality_classifier(spark, SF))
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+    assert "CartesianProduct" not in plan, plan

@@ -49,6 +49,9 @@ OPERATOR_QUERIES = [
     "tfidf_topk",
     "lm_bigram_surprisal",
     "corpus_mix_sample",
+    "quality_classifier",
+    "corpus_shuffle",
+    "pii_scrub",
 ]
 
 
