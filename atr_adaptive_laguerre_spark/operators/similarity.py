@@ -595,6 +595,120 @@ ORDER BY vec_id
 """
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus embedding covariance matrix (upper triangle) — the
+    statistics behind whitening / PCA preprocessing for
+    embedding-space dedup and ANN (raw encoder embeddings are
+    anisotropic; whitened distances separate near-dups better).
+
+    Scale shape: ONE corpus pass, no self-join — each row expands to
+    its d(d+1)/2 upper-triangle products via nested JVM ``transform``
+    lambdas (d is a model constant, e.g. 16-1024; the expansion is a
+    map-side flatMap), then a single groupBy on the d²/2-key (i, j)
+    grid with map-side partial sums.  Output is O(d²), independent of
+    corpus size.
+
+    Determinism: each product ``x_i·x_j`` is one correctly-rounded
+    binary64 op on float32-exact inputs, quantized to micro units
+    BEFORE the sum, so accumulation is exact integer arithmetic in
+    both engines; the final covariance is a short chain of identical
+    correctly-rounded ops on identical integers."""
+    emb = _emb(spark, sf_dir).select(
+        F.col("embedding").cast("array<double>").alias("v"))
+    # ONE corpus scan: each row expands to its upper-triangle product
+    # structs plus 2d marker structs ((d, -1) and (-1, d)) carrying the
+    # raw components, so the first-moment sums ride the SAME shuffle +
+    # aggregate as the second moments; the means then reach every
+    # (i, j) cell through two windows over the O(d²) aggregate — no
+    # join, no second scan, no duplicated subtree
+    entries = emb.select(F.explode(F.expr(
+        "concat("
+        "filter(flatten(transform(v, (xi, i) -> transform(v, (xj, j) -> "
+        "struct(i as i, j as j, "
+        "cast(floor(xi * xj * 1000000.0 + 0.5) as bigint) as p_micro)"
+        "))), s -> s.i <= s.j), "
+        "transform(v, (x, d) -> struct(d as i, -1 as j, "
+        "cast(floor(x * 1000000.0 + 0.5) as bigint) as p_micro)), "
+        "transform(v, (x, d) -> struct(-1 as i, d as j, "
+        "cast(floor(x * 1000000.0 + 0.5) as bigint) as p_micro)))"
+    )).alias("s"))
+    agg = (entries.select("s.i", "s.j", "s.p_micro")
+           .groupBy("i", "j")
+           .agg(F.sum("p_micro").alias("sp_micro"),
+                F.count(F.lit(1)).alias("n")))
+    wi = Window.partitionBy("i")          # O(d) rows per partition
+    wj = Window.partitionBy("j")
+    sums = (agg
+            .withColumn("sxi", F.max(F.when(F.col("j") < 0,
+                                            F.col("sp_micro"))).over(wi))
+            .withColumn("sxj", F.max(F.when(F.col("i") < 0,
+                                            F.col("sp_micro"))).over(wj))
+            .filter((F.col("i") >= 0) & (F.col("j") >= 0)))
+    n = F.col("n").cast("double")
+    cov = (F.col("sp_micro").cast("double") / 1000000.0 / n
+           - (F.col("sxi").cast("double") / 1000000.0 / n)
+           * (F.col("sxj").cast("double") / 1000000.0 / n))
+    return (sums.select("i", "j", "n", _r6(cov).alias("cov"))
+            .orderBy("i", "j"))
+
+
+ORACLE_EMBEDDING_COVARIANCE = """
+WITH pairs AS (
+  SELECT i, j,
+         FLOOR(embedding[i + 1]::DOUBLE * embedding[j + 1]::DOUBLE
+               * 1000000.0 + 0.5)::BIGINT AS p_micro
+  FROM embeddings,
+       UNNEST(range(0, len(embedding))) AS ti(i),
+       UNNEST(range(0, len(embedding))) AS tj(j)
+  WHERE i <= j
+), sums AS (
+  SELECT i, j, SUM(p_micro)::BIGINT AS sp_micro,
+         COUNT(*)::BIGINT AS n
+  FROM pairs GROUP BY i, j
+), means AS (
+  SELECT d, SUM(FLOOR(x * 1000000.0 + 0.5)::BIGINT)::BIGINT AS sx_micro
+  FROM (SELECT unnest(range(0, len(embedding))) AS d,
+               unnest(embedding)::DOUBLE AS x
+        FROM embeddings)
+  GROUP BY d
+)
+SELECT s.i, s.j, s.n,
+       FLOOR((s.sp_micro::DOUBLE / 1000000.0 / s.n
+              - (mi.sx_micro::DOUBLE / 1000000.0 / s.n)
+              * (mj.sx_micro::DOUBLE / 1000000.0 / s.n))
+             * 1000000.0 + 0.5) / 1000000.0 AS cov
+FROM sums s
+JOIN means mi ON s.i = mi.d
+JOIN means mj ON s.j = mj.d
+ORDER BY s.i, s.j
+"""
+
+
+def principal_axis(cov: "list[list[float]]", iters: int = 512):
+    """Top eigenvector/eigenvalue of a (tiny, driver-side) covariance
+    matrix by power iteration — the d×d eigensolve step of PCA
+    whitening.  The DISTRIBUTED work is `q_embedding_covariance`; this
+    runs on its O(d²) output, which is corpus-size-independent, so
+    driver-side is the right place at any scale (same adjudication as
+    the IVF codebook's Lloyd iterations).  Deterministic: fixed start
+    vector, fixed iteration count, no data-dependent branching."""
+    import numpy as np
+
+    a = np.asarray(cov, dtype=np.float64)
+    assert a.shape[0] == a.shape[1]
+    v = np.ones(a.shape[0], dtype=np.float64) / np.sqrt(a.shape[0])
+    for _ in range(iters):
+        w = a @ v
+        nrm = float(np.sqrt((w * w).sum()))
+        if nrm == 0.0:
+            return v, 0.0
+        v = w / nrm
+    lam = float(v @ a @ v)
+    if v[int(np.argmax(np.abs(v)))] < 0:   # sign convention
+        v = -v
+    return v, lam
+
+
 QUERIES = {
     "ann_topk_cosine": q_ann_topk_cosine,
     "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -603,6 +717,7 @@ QUERIES = {
     "embedding_kmeans": q_embedding_kmeans,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_canonicalize": q_dedup_embedding_canonicalize,
+    "embedding_covariance": q_embedding_covariance,
 }
 
 ORACLES = {
@@ -613,4 +728,5 @@ ORACLES = {
     "embedding_kmeans": ORACLE_EMBEDDING_KMEANS,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
     "dedup_embedding_canonicalize": ORACLE_DEDUP_EMBEDDING_CANONICALIZE,
+    "embedding_covariance": ORACLE_EMBEDDING_COVARIANCE,
 }

@@ -948,3 +948,53 @@ def test_corpus_shuffle_is_permutation(spark):
     # not the identity (or reverse) permutation
     assert (p["shuffle_pos"] != p.index).any()
     assert (p["shuffle_pos"] != n - 1 - p.index).any()
+
+
+def test_principal_axis_matches_numpy():
+    """Power iteration on a synthetic covariance must match
+    numpy.linalg.eigh's top eigenpair (driver-side d x d step of the
+    PCA-whitening pipeline)."""
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        principal_axis,
+    )
+
+    rng = np.random.RandomState(7)
+    b = rng.randn(40, 6)
+    cov = np.cov(b, rowvar=False)
+    v, lam = principal_axis(cov.tolist())
+    w, vecs = np.linalg.eigh(cov)
+    assert abs(lam - w[-1]) < 1e-9
+    top = vecs[:, -1]
+    if top[int(np.argmax(np.abs(top)))] < 0:
+        top = -top
+    assert np.abs(v - top).max() < 1e-9
+
+
+def test_embedding_covariance_invariants(spark):
+    """The covariance query must emit exactly the d(d+1)/2 upper
+    triangle with constant n, non-negative diagonal, and values close
+    to numpy's biased covariance on the same vectors (within the
+    micro-quantization error bound)."""
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        q_embedding_covariance,
+    )
+
+    p = (q_embedding_covariance(spark, SF).toPandas()
+         .sort_values(["i", "j"]).reset_index(drop=True))
+    d = int(p["j"].max()) + 1
+    assert len(p) == d * (d + 1) // 2
+    assert p["n"].nunique() == 1
+    diag = p.loc[p["i"] == p["j"], "cov"]
+    assert (diag >= -1e-6).all()
+
+    import duckdb
+    vecs = duckdb.sql(
+        "SELECT embedding FROM "
+        f"'{SF}/embeddings.parquet' ORDER BY vec_id").fetchnumpy()
+    m = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in vecs["embedding"]])
+    ref = np.cov(m, rowvar=False, bias=True)
+    got = np.zeros((d, d))
+    got[p["i"], p["j"]] = p["cov"]
+    iu = np.triu_indices(d)
+    assert np.abs(got[iu] - ref[iu]).max() < 2e-6

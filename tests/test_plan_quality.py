@@ -306,3 +306,17 @@ def test_quality_classifier_join_shapes(spark):
     plan = _plan(q_quality_classifier(spark, SF))
     assert plan.count("BroadcastNestedLoopJoin") == 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_embedding_covariance_single_scan(spark):
+    """The covariance query must read the corpus exactly ONCE (the
+    mean sums ride the same expand + aggregate as the products via
+    marker entries, then two windows over the O(d^2) aggregate) — no
+    join and no duplicated scan subtree."""
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        q_embedding_covariance,
+    )
+
+    plan = _plan(q_embedding_covariance(spark, SF))
+    assert plan.count("FileScan") == 1, plan
+    assert "Join" not in plan, plan
