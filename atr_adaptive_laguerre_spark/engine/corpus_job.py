@@ -1,0 +1,191 @@
+"""End-to-end corpus preparation job: the composed LLM-data pipeline.
+
+``prepare_corpus`` chains the operator library's doc-grain decisions —
+quality/exact-dup gates, near-dup canonicalization drop, PII redaction,
+deterministic global shuffle, and sequence-packing offsets — into ONE
+curated training-corpus write with per-stage manifest lineage, the same
+observability story the feature job tells (`manifest.run_resumable`)
+applied to the data side.
+
+Composition contract: every gate reuses the exact expressions of its
+standalone catalog operator (`curation_report`'s keep decision,
+`dedup.connected_components` over `verified_jaccard_pairs`,
+`pii_scrub_cols`, the `corpus_shuffle` / `sequence_packing` two-level
+scans), so the composed output is testable against the independent
+operators — `tests/test_corpus_job.py` asserts the written corpus
+matches the standalone report counts and orderings row for row.
+
+Scale shape: one linear pass scores and gates (two shuffles: the chash
+dedup window + nothing else at doc grain); the near-dup arm adds the
+LSH candidate pipeline over only paired docs; shuffle positions and
+packing offsets are bucketed two-level scans (no global window ever
+sees the corpus); the final write partitions by shard so downstream
+training readers get `SHUFFLE_SHARDS` independent splits.  Determinism:
+the whole pipeline is a pure function of (doc_id, text, source), so two
+runs — at any parallelism — write identical rows.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from atr_adaptive_laguerre_spark.operators.curation import (
+    MIN_QUALITY, MIN_TOKENS, PACK_BUCKET_W, SEQ_LEN, SHUFFLE_BUCKET_HEX,
+    SHUFFLE_SHARDS,
+)
+from atr_adaptive_laguerre_spark.operators.text import (
+    pii_scrub_cols, quality_cols, words_col,
+)
+
+#: per-stage lineage row written after the job commits
+CORPUS_MANIFEST_SCHEMA = ("run_id string, stage string, n_docs_in long, "
+                          "n_docs_out long, n_tokens_out long, "
+                          "wall_sec double, committed_at double")
+
+
+def _gated(docs: DataFrame, min_tokens: int, min_quality: float,
+           near_dup_drops: DataFrame | None) -> DataFrame:
+    """Doc-grain keep decision — the exact `curation_report` gates
+    (exact-dup canonical, token floor, quality floor, optional near-dup
+    drop set) kept at doc grain instead of aggregated to a report."""
+    w = words_col()
+    scored = docs.select(
+        "doc_id", "source", "text",
+        F.size(w).cast("bigint").alias("n_tokens"),
+        quality_cols(w)[2].alias("quality_score"),
+        F.md5(F.concat_ws(" ", w)).alias("chash"))
+    keep = ((F.col("n_tokens") >= min_tokens)
+            & (F.col("quality_score") >= min_quality))
+    if near_dup_drops is not None:
+        nd = (near_dup_drops.select("doc_id").distinct()
+              .withColumn("nd_drop", F.lit(1)))
+        scored = scored.join(nd, "doc_id", "left")  # AQE sizes the join
+        keep = keep & F.col("nd_drop").isNull()
+    cw = Window.partitionBy("chash")
+    return (scored
+            .withColumn("keep", (F.col("doc_id")
+                                 == F.min("doc_id").over(cw)) & keep)
+            .filter("keep")
+            .select("doc_id", "source", "text", "n_tokens"))
+
+
+def _with_shuffle_pos(kept: DataFrame) -> DataFrame:
+    """`corpus_shuffle`'s bucketed two-level global ranking over the
+    kept set."""
+    key = F.md5(F.concat(F.col("doc_id").cast("string"),
+                         F.lit(":shuffle")))
+    d = kept.withColumn("k", key).withColumn(
+        "bkt", F.substring("k", 1, SHUFFLE_BUCKET_HEX))
+    wl = Window.partitionBy("bkt").orderBy("k", "doc_id")
+    d = d.withColumn("rn", F.row_number().over(wl).cast("bigint"))
+    wb = (Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    off = (d.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+           .withColumn("off", F.coalesce(F.sum("n").over(wb), F.lit(0)))
+           .select("bkt", "off"))
+    return (d.join(off, "bkt")
+            .withColumn("shuffle_pos",
+                        (F.col("off") + F.col("rn") - 1).cast("bigint"))
+            .withColumn("shard",
+                        F.col("shuffle_pos") % SHUFFLE_SHARDS)
+            .drop("k", "bkt", "rn", "off"))
+
+
+def _with_pack_offsets(shuffled: DataFrame, seq_len: int) -> DataFrame:
+    """`sequence_packing`'s two-level prefix sum, ordered by the
+    SHUFFLE position (training order), not doc_id."""
+    d = shuffled.withColumn(
+        "pbkt", F.expr(f"shuffle_pos div {PACK_BUCKET_W}"))
+    wl = (Window.partitionBy("pbkt").orderBy("shuffle_pos")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    d = d.withColumn(
+        "local_off", F.coalesce(F.sum("n_tokens").over(wl), F.lit(0)))
+    wb = (Window.orderBy("pbkt")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    tot = (d.groupBy("pbkt").agg(F.sum("n_tokens").alias("t"))
+           .withColumn("boff", F.coalesce(F.sum("t").over(wb), F.lit(0)))
+           .select("pbkt", "boff"))
+    return (d.join(tot, "pbkt")
+            .withColumn("tok_offset",
+                        (F.col("boff") + F.col("local_off"))
+                        .cast("bigint"))
+            .withColumn("first_seq",
+                        F.expr(f"tok_offset div {seq_len}")
+                        .cast("bigint"))
+            .drop("pbkt", "local_off", "boff"))
+
+
+def prepare_corpus(spark: SparkSession, docs: DataFrame, output_dir: str,
+                   manifest_dir: str | None = None,
+                   run_id: str | None = None,
+                   min_tokens: int = MIN_TOKENS,
+                   min_quality: float = MIN_QUALITY,
+                   near_dup: bool = True,
+                   seq_len: int = SEQ_LEN) -> dict:
+    """Run the composed pipeline over a documents frame and write the
+    curated, scrubbed, shuffled, packing-annotated corpus to
+    ``output_dir`` partitioned by shard.  Returns a summary dict; with
+    ``manifest_dir``, appends one lineage row per stage (and the
+    canonicalization rounds via ``canonicalize_with_manifest``)."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    t0 = time.time()
+    stages: list[tuple[str, int, int, int, float]] = []
+
+    n_in = docs.count()
+
+    nd = None
+    if near_dup:
+        from atr_adaptive_laguerre_spark.operators.dedup import (
+            connected_components, verified_jaccard_pairs,
+        )
+
+        ts = time.time()
+        pairs = verified_jaccard_pairs(docs)
+        if manifest_dir is not None:
+            from atr_adaptive_laguerre_spark.engine.manifest import (
+                canonicalize_with_manifest,
+            )
+
+            comp = canonicalize_with_manifest(
+                spark, pairs, f"{manifest_dir}/components",
+                run_id=run_id)
+        else:
+            comp = connected_components(pairs)
+        nd = (comp.filter(F.col("id") != F.col("comp"))
+              .select(F.col("id").alias("doc_id")))
+        stages.append(("near_dup_components", n_in, int(nd.count()),
+                       0, time.time() - ts))
+
+    ts = time.time()
+    kept = _gated(docs, min_tokens, min_quality, nd)
+    scrubbed = (pii_scrub_cols(kept)
+                .select("doc_id", "source", "n_tokens",
+                        F.col("redacted").alias("text"),
+                        (F.col("n_email") + F.col("n_phone")
+                         + F.col("n_ip")).alias("n_pii")))
+    out = _with_pack_offsets(_with_shuffle_pos(scrubbed), seq_len)
+    (out.write.mode("overwrite").partitionBy("shard")
+        .parquet(output_dir))
+    wall_write = time.time() - ts
+
+    agg = spark.read.parquet(output_dir).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tokens").alias("tok")).collect()[0]
+    stages.append(("gate_scrub_shuffle_pack_write", n_in, int(agg["n"]),
+                   int(agg["tok"] or 0), wall_write))
+
+    if manifest_dir is not None:
+        now = time.time()
+        rows = [(run_id, s, int(i), int(o), int(t), float(w), float(now))
+                for s, i, o, t, w in stages]
+        (spark.createDataFrame(rows, CORPUS_MANIFEST_SCHEMA)
+         .write.mode("append").parquet(f"{manifest_dir}/stages"))
+
+    return {"run_id": run_id, "n_docs_in": n_in,
+            "n_docs_out": int(agg["n"]),
+            "n_tokens_out": int(agg["tok"] or 0),
+            "wall_sec": time.time() - t0,
+            "stages": [s for s, *_ in stages]}

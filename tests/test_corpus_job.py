@@ -1,0 +1,92 @@
+"""End-to-end corpus-preparation job: the composed pipeline must match
+the standalone operators' decisions exactly and be run-to-run
+deterministic."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def prepared(spark, tmp_path_factory):
+    from atr_adaptive_laguerre_spark.engine.corpus_job import (
+        prepare_corpus,
+    )
+
+    base = tmp_path_factory.mktemp("corpus_job")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    summary = prepare_corpus(
+        spark, docs, str(base / "out"),
+        manifest_dir=str(base / "manifest"), run_id="testrun")
+    out = (spark.read.parquet(str(base / "out")).toPandas()
+           .sort_values("shuffle_pos").reset_index(drop=True))
+    return summary, out, base
+
+
+def test_counts_match_standalone_curation(spark, prepared):
+    """Docs surviving the composed job == the neardup curation
+    report's kept count (same gates, doc grain vs aggregate)."""
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        q_corpus_curation_neardup,
+    )
+
+    summary, out, _ = prepared
+    rep = q_corpus_curation_neardup(spark, SF).toPandas()
+    assert summary["n_docs_out"] == int(rep["n_kept"].sum())
+    assert len(out) == summary["n_docs_out"]
+    assert summary["n_tokens_out"] == out["n_tokens"].sum()
+
+
+def test_shuffle_and_pack_structure(prepared):
+    """Shuffle positions are a bijection onto [0, n); packing offsets
+    are the running token sum in shuffle order; shards round-robin."""
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        SHUFFLE_SHARDS,
+    )
+
+    _, out, _ = prepared
+    n = len(out)
+    assert sorted(out["shuffle_pos"]) == list(range(n))
+    want_off = np.concatenate(
+        [[0], np.cumsum(out["n_tokens"].to_numpy())[:-1]])
+    assert (out["tok_offset"].to_numpy() == want_off).all()
+    assert (out["shard"] == out["shuffle_pos"] % SHUFFLE_SHARDS).all()
+
+
+def test_scrubbed_and_manifest(spark, prepared):
+    """Output text is the redacted column (no PII in the synthetic
+    corpus, so texts survive verbatim but n_pii exists and is 0), and
+    the manifest carries one row per stage plus the canonicalization
+    rounds."""
+    summary, out, base = prepared
+    assert (out["n_pii"] == 0).all()
+    stages = spark.read.parquet(str(base / "manifest/stages")).toPandas()
+    assert set(stages["stage"]) == {"near_dup_components",
+                                    "gate_scrub_shuffle_pack_write"}
+    assert (stages["run_id"] == "testrun").all()
+    g = stages.set_index("stage")
+    assert (g.loc["gate_scrub_shuffle_pack_write", "n_docs_out"]
+            == summary["n_docs_out"])
+    comp = spark.read.parquet(
+        str(base / "manifest/components")).toPandas()
+    assert (comp["run_id"] == "testrun").all()
+    assert len(comp) >= 1          # at least one propagation round
+
+
+def test_rerun_is_identical(spark, prepared, tmp_path):
+    """The pipeline is a pure function of the input: a second run at a
+    different parallelism writes the identical frame."""
+    from atr_adaptive_laguerre_spark.engine.corpus_job import (
+        prepare_corpus,
+    )
+
+    _, out, _ = prepared
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .repartition(7))     # different physical layout
+    prepare_corpus(spark, docs, str(tmp_path / "out2"), near_dup=True)
+    out2 = (spark.read.parquet(str(tmp_path / "out2")).toPandas()
+            .sort_values("shuffle_pos").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out[sorted(out.columns)], out2[sorted(out2.columns)])
