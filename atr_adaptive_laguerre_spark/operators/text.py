@@ -8,7 +8,7 @@ engines agree bit-for-bit on md5 of the same UTF-8 string).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 #: tiny English stopword list (top function words; includes the synthetic
 #: corpus's fillers) — heuristic lang/quality scoring only
@@ -539,6 +539,128 @@ ORDER BY d.doc_id
 """
 
 
+#: merge candidates reported by the BPE pair-statistics operator
+BPE_TOP_K = 20
+
+
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training statistics — the first iteration of BPE
+    (Sennrich et al. 2016): count every adjacent character pair inside
+    every word, weighted by word frequency; the top pair is the first
+    merge a BPE trainer would learn.  Reports the ``BPE_TOP_K`` most
+    frequent pairs (ties broken by pair string, so the ranking is
+    total and engine-independent).
+
+    Scale shape: the corpus collapses to DISTINCT words first (one
+    token-keyed groupBy — vocab-linear, map-side combine does the
+    heavy lifting), char-pair expansion runs over the vocabulary only
+    (JVM ``transform`` over ``sequence``, no Python), and the final
+    pair space is bounded by charset² (corpus-size-independent), so
+    the top-k window is O(|charset|²) rows on one partition — a
+    constant.  At a second/third merge iteration the tokenization
+    changes per merge; that loop is a driver-side recursion over this
+    same aggregate (same adjudication as the IVF Lloyd iterations)."""
+    docs = _docs(spark, sf_dir)
+    wc = (docs.select(F.explode(words_col()).alias("w"))
+          .filter(F.length("w") >= 2)
+          .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    pairs = wc.select(
+        "c", F.explode(F.expr(
+            "transform(sequence(1, length(w) - 1), "
+            "i -> substring(w, i, 2))")).alias("pair"))
+    agg = pairs.groupBy("pair").agg(F.sum("c").alias("cnt"))
+    wr = Window.orderBy(F.col("cnt").desc(), "pair")  # O(charset²) rows
+    return (agg.withColumn("rank", F.row_number().over(wr)
+                           .cast("bigint"))
+            .filter(F.col("rank") <= BPE_TOP_K)
+            .select("rank", "pair", "cnt")
+            .orderBy("rank"))
+
+
+ORACLE_BPE_PAIR_STATS = f"""
+WITH wc AS (
+  SELECT w, COUNT(*)::BIGINT AS c FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+    FROM documents
+  ) WHERE length(w) >= 2
+  GROUP BY w
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+                               i -> substr(w, i::INT, 2))) AS pair,
+         c
+  FROM wc
+), agg AS (
+  SELECT pair, SUM(c)::BIGINT AS cnt FROM pairs GROUP BY pair
+)
+SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, pair)::BIGINT AS rank,
+       pair, cnt
+FROM agg
+QUALIFY rank <= {BPE_TOP_K}
+ORDER BY rank
+"""
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 8) -> list[str]:
+    """Train ``n_merges`` BPE merges on the corpus (Sennrich et al.
+    2016, algorithm 1): start from character symbols, repeatedly count
+    adjacent symbol pairs over the (distinct-word, frequency)
+    vocabulary and merge the most frequent pair (ties by pair string —
+    a total, engine-independent order).
+
+    Distribution: the corpus collapses to the vocabulary ONCE (the only
+    corpus-scale shuffle); each iteration is a vocab-linear pair count
+    plus a vocab-linear merge rewrite, both pure JVM expressions — the
+    merge itself is an ``aggregate`` fold that rebuilds each word's
+    symbol array left-to-right (BPE's leftmost-first merge semantics).
+    The driver loop holds only the learned pair per round (same
+    adjudication as the IVF Lloyd iterations: O(iterations) tiny
+    driver state, never corpus data).  ``localCheckpoint`` truncates
+    the per-round plan the way the components loop does."""
+    wc = (docs.select(F.explode(words_col()).alias("w"))
+          .filter(F.length("w") >= 1)
+          .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    sym = wc.select(
+        "c", F.expr("transform(sequence(1, length(w)), "
+                    "i -> substring(w, i, 1))").alias("s"))
+    sym = sym.localCheckpoint()
+    merges: list[str] = []
+    for _ in range(n_merges):
+        best = (sym.select(
+            "c", F.explode(F.expr(
+                # sequence(1, 0) DESCENDS in Spark — guard 1-symbol
+                # words with an explicit empty array
+                "IF(size(s) < 2, cast(array() as array<string>), "
+                "transform(sequence(1, size(s) - 1), "
+                "i -> concat(s[i - 1], s[i])))")).alias("pair"))
+            .groupBy("pair").agg(F.sum("c").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pair")
+            .limit(1).collect())
+        if not best:
+            break
+        p = best[0]["pair"]
+        merges.append(p)
+        p_lit = p.replace("\\", "\\\\").replace("'", "\\'")
+        # left-to-right fold: pend holds the previous symbol; when
+        # (pend, x) concatenates to the learned pair they fuse,
+        # otherwise pend is emitted and x becomes the new pend
+        merged = F.expr(
+            "aggregate(slice(s, 2, size(s) - 1), "
+            "struct(cast(array() as array<string>) as out, s[0] as pend), "
+            f"(acc, x) -> IF(concat(acc.pend, x) = '{p_lit}', "
+            "struct(concat(acc.out, array(concat(acc.pend, x))) as out, "
+            "cast(null as string) as pend), "
+            "IF(acc.pend is null, "
+            "struct(acc.out as out, x as pend), "
+            "struct(concat(acc.out, array(acc.pend)) as out, "
+            "x as pend))), "
+            "acc -> IF(acc.pend is null, acc.out, "
+            "concat(acc.out, array(acc.pend))))")
+        sym = (sym.select("c", F.when(F.size("s") >= 2, merged)
+                          .otherwise(F.col("s")).alias("s"))
+               .localCheckpoint())
+    return merges
+
+
 #: PII patterns — written to behave identically under Java regex
 #: (Spark) and RE2 (DuckDB): no ambiguous alternations/quantifiers
 #: where backtracking (leftmost-greedy) and leftmost-longest could
@@ -766,6 +888,7 @@ QUERIES = {
     "lm_bigram_surprisal": q_lm_bigram_surprisal,
     "quality_classifier": q_quality_classifier,
     "pii_scrub": q_pii_scrub,
+    "bpe_pair_stats": q_bpe_pair_stats,
 }
 
 ORACLES = {
@@ -778,4 +901,5 @@ ORACLES = {
     "lm_bigram_surprisal": ORACLE_LM_BIGRAM_SURPRISAL,
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "pii_scrub": ORACLE_PII_SCRUB,
+    "bpe_pair_stats": ORACLE_BPE_PAIR_STATS,
 }

@@ -998,3 +998,57 @@ def test_embedding_covariance_invariants(spark):
     got[p["i"], p["j"]] = p["cov"]
     iu = np.triu_indices(d)
     assert np.abs(got[iu] - ref[iu]).max() < 2e-6
+
+
+def test_bpe_train_matches_reference_python(spark):
+    """The distributed BPE trainer must learn the same merges, in the
+    same order, as a pure-Python reference implementation of Sennrich
+    et al.'s algorithm (count adjacent symbol pairs over the word
+    vocabulary, merge the most frequent, leftmost-first rewrite, ties
+    by pair string)."""
+    from collections import Counter
+
+    from atr_adaptive_laguerre_spark.operators.text import bpe_train
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = bpe_train(docs, n_merges=6)
+
+    pdf = docs.toPandas()
+    vocab = Counter()
+    for t in pdf["text"]:
+        for w in t.strip().lower().split():
+            if w:
+                vocab[tuple(w)] += 1
+
+    def ref_merges(vocab, n):
+        merges = []
+        vocab = dict(vocab)
+        for _ in range(n):
+            pc = Counter()
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[syms[i] + syms[i + 1]] += c
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            new = {}
+            for syms, c in vocab.items():
+                out, pend = [], None
+                for x in syms:
+                    if pend is not None and pend + x == best:
+                        out.append(pend + x)
+                        pend = None
+                    elif pend is None:
+                        pend = x
+                    else:
+                        out.append(pend)
+                        pend = x
+                if pend is not None:
+                    out.append(pend)
+                new[tuple(out)] = new.get(tuple(out), 0) + c
+            vocab = new
+        return merges
+
+    want = ref_merges(vocab, 6)
+    assert got == want, (got, want)

@@ -52,6 +52,8 @@ OPERATOR_QUERIES = [
     "quality_classifier",
     "corpus_shuffle",
     "pii_scrub",
+    "bpe_pair_stats",
+    "embedding_covariance",
 ]
 
 
