@@ -118,6 +118,139 @@ def _with_pack_offsets(shuffled: DataFrame, seq_len: int) -> DataFrame:
             .drop("pbkt", "local_off", "boff"))
 
 
+def _committed_stages(spark: SparkSession, manifest_dir: str,
+                      run_id: str) -> set[str]:
+    """Stage names already committed for this run (empty on a fresh
+    manifest — only PATH_NOT_FOUND is swallowed, anything else is a
+    real error, mirroring `manifest.completed_buckets`)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = (spark.read.parquet(f"{manifest_dir}/stages")
+                .filter(F.col("run_id") == run_id)
+                .select("stage").distinct().collect())
+    except AnalysisException as e:
+        get_cls = (getattr(e, "getCondition", None)
+                   or getattr(e, "getErrorClass", lambda: None))
+        if (get_cls() or "") == "PATH_NOT_FOUND":
+            return set()
+        raise
+    return {r["stage"] for r in rows}
+
+
+def _append_stage(spark: SparkSession, manifest_dir: str, run_id: str,
+                  stage: str, n_in: int, n_out: int, n_tok: int,
+                  wall: float) -> None:
+    row = [(run_id, stage, int(n_in), int(n_out), int(n_tok),
+            float(wall), float(time.time()))]
+    (spark.createDataFrame(row, CORPUS_MANIFEST_SCHEMA)
+     .write.mode("append").parquet(f"{manifest_dir}/stages"))
+
+
+def prepare_corpus_resumable(spark: SparkSession, docs: DataFrame,
+                             output_dir: str, staging_dir: str,
+                             manifest_dir: str, run_id: str,
+                             min_tokens: int = MIN_TOKENS,
+                             min_quality: float = MIN_QUALITY,
+                             near_dup: bool = True,
+                             seq_len: int = SEQ_LEN,
+                             shards_per_wave: int = 4,
+                             max_waves: int | None = None) -> dict:
+    """Checkpoint-resumable variant of :func:`prepare_corpus` — the
+    corpus-side twin of `manifest.run_resumable`'s wave pattern:
+
+    1. **Staging commit** (once): the gated + scrubbed doc set is
+       written to ``staging_dir`` and marked in the manifest.  The
+       expensive discovery work (near-dup components, quality gates,
+       PII scrub) never re-runs after this point.
+    2. **Shard waves**: shuffle positions and packing offsets are
+       recomputed from staging (pure deterministic functions — cheaper
+       than persisting them) and the final corpus is written
+       ``shards_per_wave`` shards at a time with dynamic partition
+       overwrite, one manifest row per shard.  A crash between a wave's
+       write and its manifest append re-writes exactly that wave's
+       shard directories on resume — idempotent, no duplicate rows.
+
+    Re-invoking with the same ``run_id`` resumes after the last
+    committed stage; ``max_waves`` lets tests simulate interruption."""
+    t0 = time.time()
+    done = _committed_stages(spark, manifest_dir, run_id)
+    resumed = bool(done)
+
+    if "staging_commit" not in done:
+        n_in = docs.count()
+        nd = None
+        if near_dup:
+            from atr_adaptive_laguerre_spark.engine.manifest import (
+                canonicalize_with_manifest,
+            )
+            from atr_adaptive_laguerre_spark.operators.dedup import (
+                verified_jaccard_pairs,
+            )
+
+            comp = canonicalize_with_manifest(
+                spark, verified_jaccard_pairs(docs),
+                f"{manifest_dir}/components", run_id=run_id)
+            nd = (comp.filter(F.col("id") != F.col("comp"))
+                  .select(F.col("id").alias("doc_id")))
+        ts = time.time()
+        kept = _gated(docs, min_tokens, min_quality, nd)
+        scrubbed = (pii_scrub_cols(kept)
+                    .select("doc_id", "source", "n_tokens",
+                            F.col("redacted").alias("text"),
+                            (F.col("n_email") + F.col("n_phone")
+                             + F.col("n_ip")).alias("n_pii")))
+        scrubbed.write.mode("overwrite").parquet(staging_dir)
+        n_staged = spark.read.parquet(staging_dir).count()
+        _append_stage(spark, manifest_dir, run_id, "staging_commit",
+                      n_in, n_staged, 0, time.time() - ts)
+        done.add("staging_commit")
+
+    staged = spark.read.parquet(staging_dir)
+    annotated = _with_pack_offsets(_with_shuffle_pos(staged), seq_len)
+
+    done_shards = {int(s.split(":", 1)[1]) for s in done
+                   if s.startswith("shard:")}
+    todo = sorted(set(range(SHUFFLE_SHARDS)) - done_shards)
+    waves = [todo[i: i + shards_per_wave]
+             for i in range(0, len(todo), shards_per_wave)]
+    if max_waves is not None:
+        waves = waves[:max_waves]
+
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    prev_mode = spark.conf.get(conf, "static")
+    for wave in waves:
+        ts = time.time()
+        part = annotated.filter(
+            F.col("shard").isin([int(s) for s in wave]))
+        spark.conf.set(conf, "dynamic")
+        try:
+            (part.write.mode("overwrite").partitionBy("shard")
+                 .parquet(output_dir))
+        finally:
+            spark.conf.set(conf, prev_mode)
+        wall = time.time() - ts
+        stats = {r["shard"]: r for r in
+                 (spark.read.parquet(output_dir)
+                  .filter(F.col("shard").isin([int(s) for s in wave]))
+                  .groupBy("shard")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("n_tokens").alias("tok")).collect())}
+        for s in wave:
+            r = stats.get(s)
+            _append_stage(spark, manifest_dir, run_id, f"shard:{s}",
+                          0, int(r["n"]) if r else 0,
+                          int(r["tok"]) if r and r["tok"] else 0,
+                          wall / max(len(wave), 1))
+        done_shards.update(int(s) for s in wave)
+
+    return {"run_id": run_id,
+            "shards_done": sorted(done_shards),
+            "shards_total": SHUFFLE_SHARDS,
+            "resumed": resumed,
+            "wall_sec": time.time() - t0}
+
+
 def prepare_corpus(spark: SparkSession, docs: DataFrame, output_dir: str,
                    manifest_dir: str | None = None,
                    run_id: str | None = None,

@@ -90,3 +90,48 @@ def test_rerun_is_identical(spark, prepared, tmp_path):
             .sort_values("shuffle_pos").reset_index(drop=True))
     pd.testing.assert_frame_equal(
         out[sorted(out.columns)], out2[sorted(out2.columns)])
+
+
+def test_resumable_interrupt_and_resume(spark, prepared, tmp_path):
+    """The wave-resumable variant, interrupted after its first shard
+    wave, must resume from the manifest (no staging recompute, only
+    missing shards written) and converge to the same corpus as the
+    one-shot job."""
+    from atr_adaptive_laguerre_spark.engine.corpus_job import (
+        prepare_corpus_resumable,
+    )
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        SHUFFLE_SHARDS,
+    )
+
+    _, out, _ = prepared
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kw = dict(output_dir=str(tmp_path / "out"),
+              staging_dir=str(tmp_path / "staging"),
+              manifest_dir=str(tmp_path / "manifest"),
+              run_id="resume-test", shards_per_wave=3)
+
+    s1 = prepare_corpus_resumable(spark, docs, max_waves=1, **kw)
+    assert s1["resumed"] is False
+    assert len(s1["shards_done"]) == 3
+
+    s2 = prepare_corpus_resumable(spark, docs, **kw)
+    assert s2["resumed"] is True
+    assert s2["shards_done"] == list(range(SHUFFLE_SHARDS))
+
+    got = (spark.read.parquet(str(tmp_path / "out")).toPandas()
+           .sort_values("shuffle_pos").reset_index(drop=True))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)].astype({"shard": "int64"}),
+        out[sorted(out.columns)].astype({"shard": "int64"}))
+
+    # idempotence: a third call with everything committed is a no-op
+    s3 = prepare_corpus_resumable(spark, docs, **kw)
+    assert s3["resumed"] is True and s3["shards_done"] == s2["shards_done"]
+    stages = spark.read.parquet(
+        str(tmp_path / "manifest/stages")).toPandas()
+    assert (stages["stage"] == "staging_commit").sum() == 1
+    assert (stages["stage"].str.startswith("shard:")).sum() \
+        == SHUFFLE_SHARDS
