@@ -380,6 +380,92 @@ ORDER BY source, split
 """
 
 
+def q_train_val_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-representativeness check: per-source KL divergence
+    between the train and val token unigram distributions under the
+    deterministic hash split — the standard "is my held-out set
+    distributionally representative" validation a pipeline runs after
+    splitting (a large KL flags leakage-safe but skewed splits).
+    Add-one smoothing over the source's joint vocabulary makes both
+    distributions proper (KL >= 0, finite).
+
+    Scale shape: one (source, token) groupBy (vocab-linear, map-side
+    combine), per-source totals via windows PARTITIONED by source over
+    the vocab-sized frame, one tiny report groupBy.  Determinism:
+    counts are exact ints; each per-token term is a short chain of
+    correctly-rounded double ops quantized to pico-nats BEFORE the
+    sum, so accumulation is exact integer arithmetic in both
+    engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    frac = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                               1, 8), 16, 10).cast("double")
+            / F.lit(float(16 ** 8)))
+    split = F.when(frac < TRAIN_FRACTION, "train").otherwise("val")
+    tok = docs.select("source", split.alias("split"),
+                      F.explode(words_col()).alias("t"))
+    ct = (tok.groupBy("source", "t")
+          .agg(F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+               .cast("bigint").alias("ctr"),
+               F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+               .cast("bigint").alias("cva")))
+    ws = Window.partitionBy("source")
+    ct = (ct.withColumn("ntr", F.sum("ctr").over(ws))
+          .withColumn("nva", F.sum("cva").over(ws))
+          .withColumn("v", F.count(F.lit(1)).over(ws)))
+    p = (F.col("ctr") + 1).cast("double") / (F.col("ntr")
+                                             + F.col("v")).cast("double")
+    q = (F.col("cva") + 1).cast("double") / (F.col("nva")
+                                             + F.col("v")).cast("double")
+    term = F.floor(p * F.log(p / q) * 1e12 + F.lit(0.5)).cast("bigint")
+    return (ct.withColumn("term_pico", term)
+            .groupBy("source")
+            .agg(F.max("ntr").alias("n_train_tokens"),
+                 F.max("nva").alias("n_val_tokens"),
+                 F.max("v").alias("vocab"),
+                 _r6((F.sum("term_pico").cast("double") / 1e12))
+                 .alias("kl_nats"))
+            .orderBy("source"))
+
+
+ORACLE_TRAIN_VAL_KL = f"""
+WITH tok AS (
+  SELECT source,
+         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                   ::DOUBLE / {float(16 ** 8)} < {TRAIN_FRACTION}
+              THEN 'train' ELSE 'val' END AS split,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+  FROM documents
+), ct AS (
+  SELECT source, t,
+         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT AS ctr,
+         SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END)::BIGINT AS cva
+  FROM tok GROUP BY source, t
+), tot AS (
+  SELECT *,
+         SUM(ctr) OVER (PARTITION BY source) AS ntr,
+         SUM(cva) OVER (PARTITION BY source) AS nva,
+         COUNT(*) OVER (PARTITION BY source) AS v
+  FROM ct
+), terms AS (
+  SELECT source, ntr, nva, v,
+         FLOOR(((ctr + 1)::DOUBLE / (ntr + v)::DOUBLE)
+               * ln(((ctr + 1)::DOUBLE / (ntr + v)::DOUBLE)
+                    / ((cva + 1)::DOUBLE / (nva + v)::DOUBLE))
+               * 1e12 + 0.5)::BIGINT AS term_pico
+  FROM tot
+)
+SELECT source,
+       MAX(ntr)::BIGINT AS n_train_tokens,
+       MAX(nva)::BIGINT AS n_val_tokens,
+       MAX(v)::BIGINT AS vocab,
+       FLOOR((SUM(term_pico)::DOUBLE / 1e12) * 1000000 + 0.5) / 1000000
+         AS kl_nats
+FROM terms
+GROUP BY source
+ORDER BY source
+"""
+
+
 SAMPLE_RATE_BASE = 0.25
 SAMPLE_RATE_SPAN = 0.5
 
@@ -937,6 +1023,7 @@ QUERIES = {
     "corpus_mix_sample": q_corpus_mix_sample,
     "corpus_perplexity_buckets": q_corpus_perplexity_buckets,
     "corpus_shuffle": q_corpus_shuffle,
+    "train_val_kl": q_train_val_kl,
     "sequence_packing": q_sequence_packing,
     "corpus_curation_neardup": q_corpus_curation_neardup,
     "corpus_curation_quantile": q_corpus_curation_quantile,
@@ -951,6 +1038,7 @@ ORACLES = {
     "corpus_mix_sample": ORACLE_CORPUS_MIX_SAMPLE,
     "corpus_perplexity_buckets": _oracle_perplexity_buckets(),
     "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
+    "train_val_kl": ORACLE_TRAIN_VAL_KL,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
     "corpus_curation_neardup": _oracle_corpus_curation_neardup(),
     "corpus_curation_quantile": ORACLE_CORPUS_CURATION_QUANTILE,

@@ -1052,3 +1052,22 @@ def test_bpe_train_matches_reference_python(spark):
 
     want = ref_merges(vocab, 6)
     assert got == want, (got, want)
+
+
+def test_train_val_kl_invariants(spark):
+    """Smoothed KL between proper distributions is non-negative, and
+    the per-source token totals must equal the corpus's own split
+    token mass."""
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        q_train_val_kl,
+    )
+
+    p = q_train_val_kl(spark, SF).toPandas()
+    assert (p["kl_nats"] >= -1e-9).all()
+    assert (p["vocab"] > 0).all()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    total_tokens = sum(
+        len(t.strip().lower().split()) if t.strip() else 1
+        for t in docs["text"])
+    assert int(p["n_train_tokens"].sum() + p["n_val_tokens"].sum()) \
+        == total_tokens
