@@ -138,13 +138,17 @@ def _hash60(col, k: int):
                   16, 10).cast("bigint")
 
 
-def _lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """MinHash+LSH candidate pairs (doc_a < doc_b): K=12 minhashes per
-    doc, 4 bands x 3 rows; docs sharing any band bucket are candidates.
-    Linear-cost candidate generation (explode K rows/doc + one shuffle
-    on (band, bucket)).  The K hash streams are Carter-Wegman
-    combinations h1 + k*h2 mod MINHASH_P of TWO md5-derived base
-    hashes — two md5s per shingle instead of twelve."""
+def band_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) MinHash-LSH band signatures: K=12
+    minhashes per doc, 4 bands x 3 rows, bucket = md5 of the band's
+    minhashes.  Linear cost (explode K rows/doc + one doc_id groupBy).
+    The K hash streams are Carter-Wegman combinations h1 + k*h2 mod
+    MINHASH_P of TWO md5-derived base hashes — two md5s per shingle
+    instead of twelve.  This is the persistable LSH index: at 100 TB
+    the corpus's signatures are written once (bucketed on ``bucket``,
+    see ``engine/bucketing.py``) and each new-data increment joins
+    against them without recomputing the corpus (``dedup_incremental``).
+    Docs whose shingle set is empty (< NGRAM words) produce no rows."""
     sh = docs.select("doc_id", F.explode(shingles_col()).alias("s"))
     hh = sh.select(
         "doc_id",
@@ -165,6 +169,14 @@ def _lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     bb = bands[0]
     for other in bands[1:]:
         bb = bb.unionByName(other)
+    return bb
+
+
+def _lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash+LSH candidate pairs (doc_a < doc_b): docs sharing any
+    band bucket (see :func:`band_signatures`) are candidates — one
+    shuffle on (band, bucket), no corpus self-join."""
+    bb = band_signatures(docs)
     a = bb.alias("a")
     b2 = bb.alias("b")
     pairs = (a.join(b2, (F.col("a.band") == F.col("b.band"))
@@ -726,11 +738,172 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# incremental dedup: a new batch vs the existing corpus's LSH index
+# ---------------------------------------------------------------------------
+
+#: Deterministic batch split for the catalog query: doc_id % INCR_MOD == 0
+#: is "today's crawl increment" (~20 % of docs); the rest are the
+#: already-indexed corpus.
+INCR_MOD = 5
+
+
+def incremental_dedup_report(new_docs: DataFrame, index_bands: DataFrame,
+                             index_shingles: DataFrame) -> DataFrame:
+    """Match a NEW document batch against an EXISTING corpus's MinHash
+    band index — the daily-increment shape of web-scale dedup: the
+    indexed corpus is never re-shingled or re-deduplicated; only the
+    increment is hashed, and candidates come from joining the batch's
+    band signatures against the persisted index.
+
+    Inputs: ``new_docs`` (doc_id, text), ``index_bands`` —
+    :func:`band_signatures` of the indexed corpus (at 100 TB a table
+    written once, bucketed on ``bucket`` via ``engine/bucketing.py`` so
+    this join shuffles ONLY the batch side), ``index_shingles``
+    (doc_id, sh array) for exact verification — in production a
+    doc_id-keyed shingle store (or the raw docs re-shingled on the
+    candidate subset only; candidates are a tiny fraction of the index).
+
+    Per new doc: candidate count, count of verified near-dups
+    (Jaccard >= JACCARD_THRESHOLD), and the best match (max Jaccard,
+    ties broken by smallest index doc_id).  New docs with no collisions
+    appear with zero counts — the caller's keep set.
+
+    Scale shape: batch shingling is linear in the batch; the
+    (band, bucket) join's output is bounded by bucket occupancy (md5
+    bucket space — no coarse-bucket quadratic blow-up); the two
+    verification joins are doc_id-keyed.  Nothing touches the index's
+    text.  New-vs-new dups INSIDE the batch are the standard full-LSH
+    pass over the (small) batch, not this operator."""
+    nb = band_signatures(new_docs)
+    cand = (nb.alias("n")
+            .join(index_bands.alias("i"),
+                  (F.col("n.band") == F.col("i.band"))
+                  & (F.col("n.bucket") == F.col("i.bucket")))
+            .select(F.col("n.doc_id").alias("new_id"),
+                    F.col("i.doc_id").alias("old_id"))
+            .distinct())
+    sh_new = new_docs.select(F.col("doc_id").alias("new_id"),
+                             shingles_col().alias("sh_n"))
+    jac = (cand
+           .join(sh_new, "new_id")
+           .join(index_shingles.select(F.col("doc_id").alias("old_id"),
+                                       F.col("sh").alias("sh_o")),
+                 "old_id")
+           .select("new_id", "old_id",
+                   F.size(F.array_intersect("sh_n", "sh_o")).alias("n_inter"),
+                   F.size("sh_n").alias("n_a"), F.size("sh_o").alias("n_b"))
+           .withColumn("j", F.col("n_inter")
+                       / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))))
+    agg = jac.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"))
+    dups = jac.filter(F.col("j") >= JACCARD_THRESHOLD)
+    dagg = dups.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_dups"))
+    w = Window.partitionBy("new_id").orderBy(F.col("j").desc(),
+                                             F.col("old_id"))
+    best = (dups.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("new_id", F.col("old_id").alias("best_match_id"),
+                    _r6(F.col("j")).alias("best_jaccard")))
+    base = new_docs.select("doc_id")
+    return (base
+            .join(agg, base["doc_id"] == agg["new_id"], "left")
+            .drop("new_id")
+            .join(dagg, F.col("doc_id") == dagg["new_id"], "left")
+            .drop("new_id")
+            .join(best, F.col("doc_id") == best["new_id"], "left")
+            .drop("new_id")
+            .select("doc_id",
+                    F.coalesce("n_candidates", F.lit(0)).cast("bigint")
+                    .alias("n_candidates"),
+                    F.coalesce("n_dups", F.lit(0)).cast("bigint")
+                    .alias("n_dups"),
+                    F.col("best_match_id").cast("bigint")
+                    .alias("best_match_id"),
+                    F.col("best_jaccard")))
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing incremental dedup: docs with doc_id % INCR_MOD == 0
+    play the new batch; the rest play the indexed corpus (both derived
+    from the same table here so the DuckDB twin is self-contained)."""
+    docs = _docs(spark, sf_dir)
+    is_new = (F.col("doc_id") % INCR_MOD) == 0
+    new_docs = docs.filter(is_new)
+    old_docs = docs.filter(~is_new)
+    report = incremental_dedup_report(
+        new_docs,
+        band_signatures(old_docs),
+        old_docs.select("doc_id", shingles_col().alias("sh")))
+    return report.orderBy("doc_id")
+
+
+ORACLE_DEDUP_INCREMENTAL = f"""
+WITH iw AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), ishl AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+{NGRAM - 1}], ' ')
+                        for i in range(1, length(words) - {NGRAM - 2})])
+           AS shingles
+  FROM iw
+), ish AS (
+  SELECT doc_id, unnest(shingles) AS s FROM ishl
+), ihh AS (
+  {_hh_sql("ish")}
+), imh AS (
+  SELECT doc_id,
+         {_mh_sql_cols()}
+  FROM ihh
+  GROUP BY doc_id
+), ibb AS (
+{_band_selects().replace("FROM mh", "FROM imh")}
+), icand AS (
+  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS old_id
+  FROM (SELECT * FROM ibb WHERE doc_id % {INCR_MOD} = 0) n
+  JOIN (SELECT * FROM ibb WHERE doc_id % {INCR_MOD} <> 0) i
+    ON n.band = i.band AND n.bucket = i.bucket
+), ijac AS (
+  SELECT new_id, old_id,
+         len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))) AS j
+  FROM icand
+  JOIN ishl sa ON sa.doc_id = new_id
+  JOIN ishl sb ON sb.doc_id = old_id
+), iagg AS (
+  SELECT new_id, COUNT(*) AS n_candidates FROM ijac GROUP BY new_id
+), idups AS (
+  SELECT new_id, old_id, j,
+         ROW_NUMBER() OVER (PARTITION BY new_id
+                            ORDER BY j DESC, old_id) AS rn
+  FROM ijac WHERE j >= {JACCARD_THRESHOLD}
+), idagg AS (
+  SELECT new_id, COUNT(*) AS n_dups FROM idups GROUP BY new_id
+), ibest AS (
+  SELECT new_id, old_id, j FROM idups WHERE rn = 1
+)
+SELECT d.doc_id,
+       COALESCE(a.n_candidates, 0)::BIGINT AS n_candidates,
+       COALESCE(g.n_dups, 0)::BIGINT AS n_dups,
+       b.old_id AS best_match_id,
+       FLOOR(b.j * 1000000 + 0.5) / 1000000 AS best_jaccard
+FROM documents d
+LEFT JOIN iagg a ON a.new_id = d.doc_id
+LEFT JOIN idagg g ON g.new_id = d.doc_id
+LEFT JOIN ibest b ON b.new_id = d.doc_id
+WHERE d.doc_id % {INCR_MOD} = 0
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_chunk_crossdoc": q_dedup_chunk_crossdoc,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_canonicalize": q_dedup_canonicalize,
@@ -741,6 +914,7 @@ ORACLES = {
     "dedup_chunk_crossdoc": ORACLE_DEDUP_CHUNK_CROSSDOC,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
+    "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
     "dedup_canonicalize": ORACLE_DEDUP_CANONICALIZE,

@@ -70,3 +70,41 @@ def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
     base = (spark.read.parquet(f"{SF}/events.parquet")
             .groupBy("user_id").agg(F.sum("value").alias("s")))
     assert agg.count() == base.count()
+
+
+def test_incremental_dedup_index_join_shuffles_only_the_batch(spark):
+    """The incremental-dedup shape: the corpus's LSH band signatures
+    written ONCE as a table bucketed on the join key — the daily
+    increment's candidate join then shuffles ONLY the batch side (one
+    exchange), while the same join against a path-written index
+    shuffles both sides."""
+    from atr_adaptive_laguerre_spark.engine.bucketing import write_bucketed
+    from atr_adaptive_laguerre_spark.operators.dedup import band_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    write_bucketed(band_signatures(idx_docs), "bktest_lshindex",
+                   ["band", "bucket"], 4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        nb = band_signatures(new_docs)
+        bucketed = nb.join(spark.table("bktest_lshindex").withColumnRenamed(
+            "doc_id", "old_id"), ["band", "bucket"])
+        plan = _plan(bucketed)
+        # the batch side is hashed on (band, bucket) exactly once; the
+        # index side is satisfied by the bucketed layout (zero join-key
+        # exchanges — the scan itself reports SelectedBucketsCount).
+        assert plan.count("Exchange hashpartitioning(band") == 1, plan
+        assert "SelectedBucketsCount" in plan, plan
+
+        flat = nb.join(band_signatures(idx_docs).withColumnRenamed(
+            "doc_id", "old_id"), ["band", "bucket"])
+        flat_plan = _plan(flat)
+        assert flat_plan.count("Exchange hashpartitioning(band") == 2, \
+            flat_plan
+        assert bucketed.count() == flat.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bktest_lshindex")

@@ -1071,3 +1071,78 @@ def test_train_val_kl_invariants(spark):
         for t in docs["text"])
     assert int(p["n_train_tokens"].sum() + p["n_val_tokens"].sum()) \
         == total_tokens
+
+
+def test_dedup_incremental_invariants(spark):
+    """One row per new-batch doc; dup counts bounded by candidate
+    counts; best match present iff there is a dup, always from the
+    index side, always at or above the threshold."""
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        INCR_MOD, JACCARD_THRESHOLD, q_dedup_incremental,
+    )
+
+    rep = q_dedup_incremental(spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    n_new = int((docs["doc_id"] % INCR_MOD == 0).sum())
+    assert len(rep) == n_new
+    assert (rep["n_dups"] <= rep["n_candidates"]).all()
+    has_dup = rep["n_dups"] > 0
+    assert (rep.loc[has_dup, "best_match_id"] % INCR_MOD != 0).all()
+    assert rep.loc[~has_dup, "best_match_id"].isna().all()
+    assert (rep.loc[has_dup, "best_jaccard"]
+            >= JACCARD_THRESHOLD - 1e-9).all()
+
+
+def test_dedup_incremental_matches_full_lsh_cross_pairs(spark):
+    """The incremental report's verified dups must be EXACTLY the
+    full-corpus verified pair list restricted to new-vs-index pairs —
+    the increment path may not gain or lose pairs relative to
+    re-deduplicating everything."""
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        INCR_MOD, _docs, q_dedup_incremental, verified_jaccard_pairs,
+    )
+
+    full = verified_jaccard_pairs(_docs(spark, SF)).toPandas()
+    cross = full[(full["doc_a"] % INCR_MOD == 0)
+                 != (full["doc_b"] % INCR_MOD == 0)]
+    rep = q_dedup_incremental(spark, SF).toPandas()
+    assert int(rep["n_dups"].sum()) == len(cross)
+    # per new doc too, not just in aggregate
+    import pandas as pd
+
+    new_side = cross.apply(
+        lambda r: r["doc_a"] if r["doc_a"] % INCR_MOD == 0 else r["doc_b"],
+        axis=1)
+    want = (new_side.value_counts() if len(cross) else pd.Series(dtype=int))
+    got = rep.set_index("doc_id")["n_dups"]
+    for doc, n in want.items():
+        assert got[doc] == n
+
+
+def test_incremental_dedup_planted_neardup(spark):
+    """A planted near-copy of an indexed doc must surface with the
+    indexed doc as its best match; an unrelated new doc must not."""
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        band_signatures, incremental_dedup_report, shingles_col,
+    )
+    from pyspark.sql import functions as F
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again while the indexing pipeline watches every word")
+    idx_docs = spark.createDataFrame(
+        [(1, base),
+         (2, "completely different content about spark shuffles and "
+             "partition pruning at terabyte scale for training data")],
+        "doc_id long, text string")
+    new_docs = spark.createDataFrame(
+        [(100, base + " with a tiny suffix edit"),
+         (101, "nothing in common with either indexed document at all "
+               "pure fresh crawl text tokens")],
+        "doc_id long, text string")
+    rep = incremental_dedup_report(
+        new_docs, band_signatures(idx_docs),
+        idx_docs.select("doc_id", shingles_col().alias("sh"))
+    ).orderBy("doc_id").toPandas()
+    assert rep.loc[rep["doc_id"] == 100, "best_match_id"].iloc[0] == 1
+    assert rep.loc[rep["doc_id"] == 100, "n_dups"].iloc[0] >= 1
+    assert rep.loc[rep["doc_id"] == 101, "n_dups"].iloc[0] == 0
