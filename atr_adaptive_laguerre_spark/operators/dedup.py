@@ -738,6 +738,128 @@ ORDER BY d.doc_id
 """
 
 
+def chunk_texts_col(width: int = CHUNK_W):
+    """Consecutive non-overlapping ``width``-token chunks as space-joined
+    strings (the text twin of :func:`chunks_col` — same slicing, no
+    hashing, so the kept chunks can be re-assembled into cleaned text)."""
+    w = _words()
+    n_full = F.floor(F.size(w) / width).cast("int")
+    idx = F.sequence(F.lit(0), n_full - 1)
+    ch = F.transform(
+        idx, lambda c: F.concat_ws(" ", F.slice(w, c * width + 1, width)))
+    return F.when(n_full >= 1, ch).otherwise(
+        F.array().cast("array<string>"))
+
+
+def chunk_clean(docs: DataFrame, width: int = CHUNK_W) -> DataFrame:
+    """The TRANSFORMATION half of cross-document chunk dedup: emit each
+    document with duplicated chunks physically removed, not just
+    counted.  An instance (doc, position) of a chunk survives iff it is
+    the globally FIRST instance of that chunk hash (order: doc_id, then
+    position) — the CCNet-style keep-first rule, which also collapses
+    within-doc repeats.  The trailing ``len % width`` words are not a
+    comparable unit and are always kept.
+
+    Scale shape: one posexplode (linear), one window over chash whose
+    partition is that chunk's instance list (bounded by duplication —
+    never a self-join), one doc_id groupBy to re-assemble kept chunks in
+    position order.  All string/array work is JVM-side; cleaned text is
+    reported as md5 + word count so the operator's output stays narrow
+    at any corpus size (the full cleaned text is the same expression,
+    un-hashed, for a sink that wants it)."""
+    base = docs.select("doc_id", _words().alias("wrds"),
+                       chunk_texts_col(width).alias("chs"))
+    inst = (base.select("doc_id", F.posexplode("chs").alias("p", "chunk"))
+            .withColumn("chash", F.md5("chunk")))
+    wk = Window.partitionBy("chash").orderBy("doc_id", "p")
+    marked = inst.withColumn("rn", F.row_number().over(wk))
+    agg = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("rn") == 1).cast("int")).alias("n_kept"))
+    body = (marked.filter(F.col("rn") == 1)
+            .groupBy("doc_id")
+            .agg(F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "chunk"))),
+                    lambda s: s.chunk)).alias("body")))
+    n_full = F.floor(F.size("wrds") / width).cast("int")
+    tail = F.concat_ws(
+        " ", F.slice(F.col("wrds"), n_full * width + 1,
+                     F.size("wrds") - n_full * width))
+    out = (base.select("doc_id", tail.alias("tail"))
+           .join(agg, "doc_id", "left")
+           .join(body, "doc_id", "left"))
+    clean = F.concat_ws(" ", F.nullif(F.coalesce("body", F.lit("")),
+                                      F.lit("")),
+                        F.nullif(F.col("tail"), F.lit("")))
+    return (out.select(
+        "doc_id",
+        F.coalesce("n_chunks", F.lit(0)).cast("bigint").alias("n_chunks"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        _r6(F.col("n_kept").cast("double")
+            / F.nullif(F.col("n_chunks"), F.lit(0)).cast("double"))
+        .alias("kept_frac"),
+        F.when(clean == "", F.lit(0)).otherwise(
+            F.size(F.split(clean, r"\s+"))).cast("bigint")
+        .alias("n_clean_words"),
+        F.md5(clean).alias("clean_md5"))
+        .orderBy("doc_id"))
+
+
+def q_dedup_chunk_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing cleaned-corpus chunk dedup (see :func:`chunk_clean`)."""
+    return chunk_clean(_docs(spark, sf_dir))
+
+
+ORACLE_DEDUP_CHUNK_CLEAN = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), ins AS (
+  SELECT doc_id, u.p, u.chunk
+  FROM (
+    SELECT doc_id,
+           unnest([{{'p': c, 'chunk': array_to_string(
+                      words[(c*{CHUNK_W}+1):(c*{CHUNK_W}+{CHUNK_W})], ' ')}}
+                   for c in range(0, length(words) // {CHUNK_W})]) AS u
+    FROM w
+  )
+), mk AS (
+  SELECT doc_id, p, chunk,
+         ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                            ORDER BY doc_id, p) AS rn
+  FROM ins
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_chunks,
+         SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+  FROM mk GROUP BY doc_id
+), body AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY p) AS body
+  FROM mk WHERE rn = 1 GROUP BY doc_id
+), base AS (
+  SELECT w.doc_id,
+         concat_ws(' ',
+           nullif(COALESCE(b.body, ''), ''),
+           nullif(array_to_string(
+             words[(length(words) // {CHUNK_W}) * {CHUNK_W} + 1
+                   : length(words)], ' '), '')) AS clean
+  FROM w LEFT JOIN body b USING (doc_id)
+)
+SELECT base.doc_id,
+       COALESCE(a.n_chunks, 0)::BIGINT AS n_chunks,
+       COALESCE(a.n_kept, 0)::BIGINT AS n_kept,
+       FLOOR(a.n_kept::DOUBLE / nullif(a.n_chunks, 0)
+             * 1000000 + 0.5) / 1000000 AS kept_frac,
+       (CASE WHEN clean = '' THEN 0
+             ELSE length(regexp_split_to_array(clean, '\\s+')) END)::BIGINT
+         AS n_clean_words,
+       md5(clean) AS clean_md5
+FROM base LEFT JOIN agg a USING (doc_id)
+ORDER BY base.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # incremental dedup: a new batch vs the existing corpus's LSH index
 # ---------------------------------------------------------------------------
@@ -901,6 +1023,7 @@ ORDER BY d.doc_id
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_chunk_crossdoc": q_dedup_chunk_crossdoc,
+    "dedup_chunk_clean": q_dedup_chunk_clean,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_incremental": q_dedup_incremental,
@@ -912,6 +1035,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_chunk_crossdoc": ORACLE_DEDUP_CHUNK_CROSSDOC,
+    "dedup_chunk_clean": ORACLE_DEDUP_CHUNK_CLEAN,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,

@@ -661,6 +661,88 @@ def bpe_train(docs: DataFrame, n_merges: int = 8) -> list[str]:
     return merges
 
 
+#: Canonical ordered merge list for the catalog ``bpe_encode`` query —
+#: a fixed, self-contained vocabulary (the oracle must be standalone
+#: SQL) that fully reassembles the corpus words "table" and "value".
+#: Production encodes with merges from :func:`bpe_train` instead; the
+#: replace machinery is identical (tested against a pure-Python BPE).
+BPE_MERGES: "list[tuple[str, str]]" = [
+    ("l", "e"), ("a", "b"), ("t", "ab"), ("tab", "le"),
+    ("v", "a"), ("va", "l"), ("u", "e"), ("val", "ue"),
+]
+
+
+def bpe_encode_col(col, merges: "list[tuple[str, str]]" = BPE_MERGES):
+    """Apply an ordered BPE merge list to a text column in pure
+    Catalyst expressions: every non-space char is wrapped as ``<c>``
+    (symbol boundaries are then unambiguous — ``<a><b>`` can never
+    match across two multi-char symbols), and each merge ``(a, b)`` is
+    ONE literal ``replace('<a><b>' -> '<ab>')``.  ``replace`` scans
+    left-to-right over non-overlapping occurrences, which is exactly
+    BPE's leftmost-first merge application — and DuckDB's ``replace``
+    has the same semantics, so the twin is bit-identical.  Merges never
+    cross whitespace (spaces are not wrapped, breaking ``><``
+    adjacency).  Assumes the corpus contains no literal ``<``/``>``
+    (true for the tokenized-word corpus; a production encoder escapes
+    them first).
+
+    Scale shape: a chain of ``len(merges)`` whole-stage-codegen string
+    replaces — one corpus scan, zero shuffles, no Python."""
+    enc = F.regexp_replace(F.trim(F.lower(col)), r"(\S)", "<$1>")
+    for a, b in merges:
+        enc = F.replace(enc, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+    return enc
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE over the corpus (the apply side of :func:`bpe_train`):
+    per doc, the token count after applying ``BPE_MERGES``, the
+    compression vs raw characters, and an md5 fingerprint of the full
+    encoded symbol stream (pins every token boundary, not just counts)."""
+    docs = _docs(spark, sf_dir)
+    enc = bpe_encode_col(F.col("text"))
+    raw = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s", "")
+    return (docs.select(
+        "doc_id",
+        F.length(raw).cast("bigint").alias("n_chars"),
+        (F.length(enc) - F.length(F.replace(enc, F.lit("<"))))
+        .cast("bigint").alias("n_tokens"),
+        _r6(F.length(raw).cast("double")
+            / F.nullif((F.length(enc)
+                        - F.length(F.replace(enc, F.lit("<"))))
+                       .cast("double"), F.lit(0.0)))
+        .alias("compression"),
+        F.md5(enc).alias("tokens_md5"))
+        .orderBy("doc_id"))
+
+
+def _bpe_replace_sql() -> str:
+    expr = ("regexp_replace(trim(lower(text)), '(\\S)', '<\\1>', 'g')")
+    for a, b in BPE_MERGES:
+        expr = f"replace({expr}, '<{a}><{b}>', '<{a}{b}>')"
+    return expr
+
+
+ORACLE_BPE_ENCODE = f"""
+WITH enc AS (
+  SELECT doc_id,
+         length(regexp_replace(trim(lower(text)), '\\s', '', 'g'))
+           AS n_chars,
+         {_bpe_replace_sql()} AS e
+  FROM documents
+)
+SELECT doc_id,
+       n_chars::BIGINT AS n_chars,
+       (length(e) - length(replace(e, '<', '')))::BIGINT AS n_tokens,
+       FLOOR(n_chars::DOUBLE
+             / nullif(length(e) - length(replace(e, '<', '')), 0)
+             * 1000000 + 0.5) / 1000000 AS compression,
+       md5(e) AS tokens_md5
+FROM enc
+ORDER BY doc_id
+"""
+
+
 #: PII patterns — written to behave identically under Java regex
 #: (Spark) and RE2 (DuckDB): no ambiguous alternations/quantifiers
 #: where backtracking (leftmost-greedy) and leftmost-longest could
@@ -889,6 +971,7 @@ QUERIES = {
     "quality_classifier": q_quality_classifier,
     "pii_scrub": q_pii_scrub,
     "bpe_pair_stats": q_bpe_pair_stats,
+    "bpe_encode": q_bpe_encode,
 }
 
 ORACLES = {
@@ -902,4 +985,5 @@ ORACLES = {
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "pii_scrub": ORACLE_PII_SCRUB,
     "bpe_pair_stats": ORACLE_BPE_PAIR_STATS,
+    "bpe_encode": ORACLE_BPE_ENCODE,
 }
