@@ -434,6 +434,225 @@ ORDER BY vec_id
 """
 
 
+PQ_M = 4          # subspaces (d=64 -> 16 dims each)
+PQ_DS = 16        # dims per subspace
+PQ_KS = 8         # codes per subspace codebook
+PQ_ITERS = 2      # Lloyd iterations per subspace
+PQ_N_QUERIES = 10
+
+
+def _l2(a, b):
+    """Squared L2 distance via JVM higher-order fns (zero Python)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): each vector split into ``PQ_M`` contiguous
+    ``PQ_DS``-dim sub-vectors — one explode, JVM ``slice``."""
+    return emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        F.col("v").alias("fv")).select(
+        "vec_id", "m",
+        F.slice(F.col("fv"), F.col("m") * PQ_DS + 1, F.lit(PQ_DS))
+        .alias("sv"))
+
+
+def _pq_codebook(sub: DataFrame, ks: int = PQ_KS,
+                 n_iter: int = PQ_ITERS) -> DataFrame:
+    """Per-subspace product-quantization codebooks (Jégou, Douze,
+    Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+    2011): ``PQ_M`` independent ``ks``-centroid Lloyd runs trained
+    TOGETHER, keyed by the subspace id ``m`` — assignment is one
+    broadcast-codebook join + argmin of the r6-quantized squared L2
+    (ties -> lowest code), update is a (m, code, dim)-keyed average
+    quantized through ``_r6`` before it feeds the next round (the same
+    cross-engine invariant as :func:`_kmeans_codebook`).  A code whose
+    cell empties KEEPS its previous centroid (left-join + coalesce), so
+    code ids stay dense in [0, ks) and a lookup table indexed by code
+    position is valid in both engines.
+
+    At 100 TB: the codebook is O(PQ_M x ks x PQ_DS) = O(ks x d) —
+    always broadcastable; each iteration is one corpus-subvector scan +
+    one (vec, m)-keyed shuffle.  ``localCheckpoint`` truncates the
+    iterative plan."""
+    cb = (sub.filter(F.col("vec_id") < ks)
+          .select("m", F.col("vec_id").alias("code"),
+                  F.col("sv").alias("cv")))
+    for _ in range(n_iter):
+        dist = (sub.join(F.broadcast(cb), "m")
+                .select("vec_id", "m", "sv", "code",
+                        _r6(_l2(F.col("sv"), F.col("cv"))).alias("dist")))
+        wa = Window.partitionBy("vec_id", "m").orderBy(
+            F.col("dist").asc(), F.col("code").asc())
+        asg = (dist.withColumn("rn", F.row_number().over(wa))
+               .filter(F.col("rn") == 1).select("vec_id", "m", "sv", "code"))
+        upd = (asg.select("m", "code", F.posexplode("sv").alias("d", "x"))
+               .groupBy("m", "code", "d").agg(_r6(F.avg("x")).alias("c"))
+               .groupBy("m", "code")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("d", "c"))),
+                   lambda s: s.c).alias("nv")))
+        cb = (cb.join(upd, ["m", "code"], "left")
+              .select("m", "code", F.coalesce("nv", "cv").alias("cv"))
+              .localCheckpoint(eager=True))
+    return cb
+
+
+def pq_topk(emb: DataFrame, n_queries: int = PQ_N_QUERIES,
+            top_k: int = TOP_K) -> DataFrame:
+    """PQ-compressed ANN with asymmetric distance computation (ADC):
+    the corpus lives as ``PQ_M`` one-byte codes per vector (a 16x
+    compression of the 64-dim float corpus here; at production dims the
+    standard 64-256x), and a query scores a candidate WITHOUT touching
+    the original vector — its per-subspace lookup table row is indexed
+    by the candidate's codes and summed.
+
+    Shapes, all corpus-linear: encode = one broadcast-codebook join +
+    one (vec, m) argmin window + one vec_id groupBy (codes array);
+    per-query LUT = queries x codebook, both broadcastable
+    (O(n_queries x ks x d) work); scoring = one broadcast
+    nested-loop join whose per-row cost is PQ_M array lookups in
+    whole-stage codegen — no Python, no corpus self-join.  At 100 TB
+    the probe set would first shrink by IVF cells
+    (:func:`q_ann_ivf_topk`); ADC is the in-cell scorer."""
+    sub = _pq_subvectors(emb)
+    cb = _pq_codebook(sub)
+    # encode: nearest code per (vector, subspace) -> codes array
+    dist = (sub.join(F.broadcast(cb), "m")
+            .select("vec_id", "m", "code",
+                    _r6(_l2(F.col("sv"), F.col("cv"))).alias("dist")))
+    wa = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("dist").asc(), F.col("code").asc())
+    codes = (dist.withColumn("rn", F.row_number().over(wa))
+             .filter(F.col("rn") == 1)
+             .groupBy("vec_id")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("m", "code"))),
+                 lambda s: s.code).alias("codes")))
+    # per-query ADC lookup table: lut[m][code] = d(q_m, c_{m,code})
+    lutr = (sub.filter(F.col("vec_id") < n_queries)
+            .join(F.broadcast(cb), "m")
+            .select(F.col("vec_id").alias("query_id"), "m", "code",
+                    _r6(_l2(F.col("sv"), F.col("cv"))).alias("pd")))
+    lut = (lutr.groupBy("query_id", "m")
+           .agg(F.transform(
+               F.array_sort(F.collect_list(F.struct("code", "pd"))),
+               lambda s: s.pd).alias("lm"))
+           .groupBy("query_id")
+           .agg(F.transform(
+               F.array_sort(F.collect_list(F.struct("m", "lm"))),
+               lambda s: s.lm).alias("lut")))
+    scored = (codes.crossJoin(F.broadcast(lut))
+              .filter(F.col("query_id") != F.col("vec_id"))
+              .select("query_id", F.col("vec_id").alias("cand_id"),
+                      _r6(F.aggregate(
+                          F.zip_with("codes", "lut",
+                                     lambda c, l: F.element_at(
+                                         l, (c + 1).cast("int"))),
+                          F.lit(0.0), lambda acc, v: acc + v))
+                      .alias("pq_dist")))
+    wr = Window.partitionBy("query_id").orderBy(F.col("pq_dist").asc(),
+                                                F.col("cand_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= top_k)
+            .select("query_id", "rank", "cand_id", "pq_dist")
+            .orderBy("query_id", "rank"))
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing PQ/ADC top-k (see :func:`pq_topk`)."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return pq_topk(emb)
+
+
+_PQL2_SQL = ("FLOOR(list_sum(list_transform(range(1, {ds} + 1), "
+             "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) "
+             "* 1000000 + 0.5) / 1000000")
+
+
+def _pq_ctes(ks: int = PQ_KS, n_iter: int = PQ_ITERS) -> str:
+    """Unrolled per-subspace Lloyd twin of :func:`_pq_codebook` —
+    empty cells carry the previous centroid so code ids stay dense."""
+    l2 = _PQL2_SQL.format(ds=PQ_DS, a="s.sv", b="c.cv")
+    parts = [f"""sub AS (
+  SELECT vec_id, m, v[(m * {PQ_DS} + 1):(m * {PQ_DS} + {PQ_DS})] AS sv
+  FROM e, range(0, {PQ_M}) t(m)
+)""", f"cb0 AS (SELECT m, vec_id AS code, sv AS cv FROM sub "
+              f"WHERE vec_id < {ks})"]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, m, sv, code FROM (
+    SELECT s.vec_id, s.m, s.sv, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {l2} ASC, c.code ASC) AS rn
+    FROM sub s JOIN cb{i - 1} c USING (m)
+  ) WHERE rn = 1
+)""")
+        parts.append(f"""u{i} AS (
+  SELECT m, code, d, FLOOR(AVG(x) * 1000000 + 0.5) / 1000000 AS cx
+  FROM (SELECT m, code, unnest(range(0, len(sv))) AS d, unnest(sv) AS x
+        FROM a{i})
+  GROUP BY m, code, d
+)""")
+        parts.append(f"""nv{i} AS (
+  SELECT m, code, list(cx ORDER BY d) AS nv FROM u{i} GROUP BY m, code
+)""")
+        parts.append(f"""cb{i} AS (
+  SELECT c.m, c.code, COALESCE(n.nv, c.cv) AS cv
+  FROM cb{i - 1} c LEFT JOIN nv{i} n ON c.m = n.m AND c.code = n.code
+)""")
+    parts.append(f"cb AS (SELECT m, code, cv FROM cb{n_iter})")
+    return ",\n".join(parts)
+
+
+ORACLE_ANN_PQ_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+{_pq_ctes()},
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_PQL2_SQL.format(
+                                  ds=PQ_DS, a='s.sv', b='c.cv')} ASC,
+                              c.code ASC) AS rn
+    FROM sub s JOIN cb c USING (m)
+  ) WHERE rn = 1
+), codes AS (
+  SELECT vec_id, list(code ORDER BY m) AS codes FROM enc GROUP BY vec_id
+), lutr AS (
+  SELECT s.vec_id AS query_id, s.m, c.code,
+         {_PQL2_SQL.format(ds=PQ_DS, a='s.sv', b='c.cv')} AS pd
+  FROM sub s JOIN cb c USING (m)
+  WHERE s.vec_id < {PQ_N_QUERIES}
+), lutm AS (
+  SELECT query_id, m, list(pd ORDER BY code) AS lm
+  FROM lutr GROUP BY query_id, m
+), lut AS (
+  SELECT query_id, list(lm ORDER BY m) AS lut FROM lutm GROUP BY query_id
+), scored AS (
+  SELECT l.query_id, c.vec_id AS cand_id,
+         FLOOR(list_sum(list_transform(range(1, {PQ_M} + 1),
+                  i -> l.lut[i][c.codes[i] + 1]))
+               * 1000000 + 0.5) / 1000000 AS pq_dist
+  FROM lut l CROSS JOIN codes c
+  WHERE l.query_id != c.vec_id
+), ranked AS (
+  SELECT query_id, cand_id, pq_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY pq_dist ASC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, cand_id, pq_dist
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 DUP_BANDS = 2
 DUP_PLANES = 4
 DUP_COS_THRESHOLD = 0.40
@@ -713,6 +932,7 @@ QUERIES = {
     "ann_topk_cosine": q_ann_topk_cosine,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "embedding_centroids": q_embedding_centroids,
     "embedding_kmeans": q_embedding_kmeans,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -724,6 +944,7 @@ ORACLES = {
     "ann_topk_cosine": ORACLE_ANN_TOPK_COSINE,
     "ann_lsh_buckets": ORACLE_ANN_LSH_BUCKETS,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
+    "ann_pq_topk": ORACLE_ANN_PQ_TOPK,
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
     "embedding_kmeans": ORACLE_EMBEDDING_KMEANS,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,

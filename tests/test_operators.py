@@ -1276,3 +1276,38 @@ def test_bpe_encode_roundtrip_with_trained_merges(spark):
         n_tok = r["e"].count("<")
         n_chars = len(stripped.replace(" ", ""))
         assert n_tok < n_chars
+
+def test_pq_codes_dense_and_duplicate_attains_min(spark):
+    """PQ structural invariants on a planted corpus: every vector gets
+    exactly PQ_M codes, all inside [0, PQ_KS); and an exact duplicate
+    of a query vector attains the GLOBAL minimum ADC distance (its
+    codes are the query's per-subspace argmin centroids, so its LUT sum
+    is the lower bound over all code combinations) -> rank 1 modulo
+    distance ties."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        PQ_KS, PQ_M, _pq_codebook, _pq_subvectors, pq_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.normal(size=64).tolist()) for i in range(40)]
+    rows.append((100, rows[3][1]))          # exact duplicate of query 3
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    sub = _pq_subvectors(emb)
+    cb = _pq_codebook(sub)
+    cbp = cb.toPandas()
+    assert sorted(cbp["m"].unique()) == list(range(PQ_M))
+    # empty-cell carry keeps every (m, code) slot alive
+    assert len(cbp) == PQ_M * PQ_KS
+    assert set(cbp["code"]) == set(range(PQ_KS))
+
+    top = pq_topk(emb, n_queries=5, top_k=3).toPandas()
+    assert set(top["query_id"]) == set(range(5))
+    g3 = top[top["query_id"] == 3].sort_values("rank")
+    best = g3.iloc[0]
+    dup_rows = g3[g3["cand_id"] == 100]
+    assert not dup_rows.empty, "planted duplicate missing from top-3"
+    assert dup_rows.iloc[0]["pq_dist"] == best["pq_dist"]
