@@ -773,23 +773,24 @@ def chunk_clean(docs: DataFrame, width: int = CHUNK_W) -> DataFrame:
             .withColumn("chash", F.md5("chunk")))
     wk = Window.partitionBy("chash").orderBy("doc_id", "p")
     marked = inst.withColumn("rn", F.row_number().over(wk))
-    agg = marked.groupBy("doc_id").agg(
+    # ONE doc_id groupBy carries counts AND the kept-chunk body (nulls
+    # from the `when` drop out of collect_list), so the explode+window
+    # pipeline — the dominant cost — executes once, not per branch
+    per_doc = marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
-        F.sum((F.col("rn") == 1).cast("int")).alias("n_kept"))
-    body = (marked.filter(F.col("rn") == 1)
-            .groupBy("doc_id")
-            .agg(F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("p", "chunk"))),
-                    lambda s: s.chunk)).alias("body")))
+        F.sum((F.col("rn") == 1).cast("int")).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("rn") == 1, F.struct("p", "chunk")))),
+                lambda s: s.chunk)).alias("body"))
     n_full = F.floor(F.size("wrds") / width).cast("int")
     tail = F.concat_ws(
         " ", F.slice(F.col("wrds"), n_full * width + 1,
                      F.size("wrds") - n_full * width))
     out = (base.select("doc_id", tail.alias("tail"))
-           .join(agg, "doc_id", "left")
-           .join(body, "doc_id", "left"))
+           .join(per_doc, "doc_id", "left"))
     clean = F.concat_ws(" ", F.nullif(F.coalesce("body", F.lit("")),
                                       F.lit("")),
                         F.nullif(F.col("tail"), F.lit("")))

@@ -320,3 +320,42 @@ def test_embedding_covariance_single_scan(spark):
     plan = _plan(q_embedding_covariance(spark, SF))
     assert plan.count("FileScan") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_bpe_encode_scan_only(spark):
+    """The BPE apply is a chain of codegen string replaces: zero
+    exchanges besides the output sort, zero Python."""
+    from atr_adaptive_laguerre_spark.operators.text import q_bpe_encode
+
+    plan = _plan(q_bpe_encode(spark, SF))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_chunk_clean_no_self_join(spark):
+    """Chunk cleaning joins back on doc_id only (hash or AQE-broadcast)
+    — never a corpus self-join on content, never Python."""
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        q_dedup_chunk_clean,
+    )
+
+    plan = _plan(q_dedup_chunk_clean(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    # content only ever partitions the chash window, keyed by the hash
+    assert plan.count("Exchange hashpartitioning(chash") == 1, plan
+
+
+def test_pq_plan_broadcasts_codebook_and_lut(spark):
+    """PQ/ADC must keep the codebook and per-query LUTs on the
+    broadcast side; the only corpus-wide join is the broadcast
+    nested-loop score join — no sort-merge, no corpus self-join."""
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        q_ann_pq_topk,
+    )
+
+    plan = _plan(q_ann_pq_topk(spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
