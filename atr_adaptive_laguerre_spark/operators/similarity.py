@@ -583,7 +583,7 @@ def _pq_ctes(ks: int = PQ_KS, n_iter: int = PQ_ITERS) -> str:
 )""", f"cb0 AS (SELECT m, vec_id AS code, sv AS cv FROM sub "
               f"WHERE vec_id < {ks})"]
     for i in range(1, n_iter + 1):
-        parts.append(f"""a{i} AS (
+        parts.append(f"""pqa{i} AS (
   SELECT vec_id, m, sv, code FROM (
     SELECT s.vec_id, s.m, s.sv, c.code,
            ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
@@ -591,18 +591,18 @@ def _pq_ctes(ks: int = PQ_KS, n_iter: int = PQ_ITERS) -> str:
     FROM sub s JOIN cb{i - 1} c USING (m)
   ) WHERE rn = 1
 )""")
-        parts.append(f"""u{i} AS (
+        parts.append(f"""pqu{i} AS (
   SELECT m, code, d, FLOOR(AVG(x) * 1000000 + 0.5) / 1000000 AS cx
   FROM (SELECT m, code, unnest(range(0, len(sv))) AS d, unnest(sv) AS x
-        FROM a{i})
+        FROM pqa{i})
   GROUP BY m, code, d
 )""")
-        parts.append(f"""nv{i} AS (
-  SELECT m, code, list(cx ORDER BY d) AS nv FROM u{i} GROUP BY m, code
+        parts.append(f"""pqnv{i} AS (
+  SELECT m, code, list(cx ORDER BY d) AS nv FROM pqu{i} GROUP BY m, code
 )""")
         parts.append(f"""cb{i} AS (
   SELECT c.m, c.code, COALESCE(n.nv, c.cv) AS cv
-  FROM cb{i - 1} c LEFT JOIN nv{i} n ON c.m = n.m AND c.code = n.code
+  FROM cb{i - 1} c LEFT JOIN pqnv{i} n ON c.m = n.m AND c.code = n.code
 )""")
     parts.append(f"cb AS (SELECT m, code, cv FROM cb{n_iter})")
     return ",\n".join(parts)
@@ -648,6 +648,160 @@ enc AS (
   FROM scored
 )
 SELECT query_id, rank, cand_id, pq_dist
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the composed web-scale ANN shape (Jégou et al. 2011;
+    the FAISS default): the trained coarse quantizer restricts each
+    query to its ``IVF_NPROBE`` nearest cells, and inside those cells
+    candidates are scored by PQ asymmetric distance — codes only, the
+    original vectors are never touched at query time.
+
+    At 100 TB: inverted lists shuffle once on cell; the per-query work
+    is (corpus/cells) x NPROBE candidate rows x PQ_M array lookups.
+    Everything broadcast except the one cell-keyed probe join."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    emb = emb.withColumn("nrm", _norm(F.col("v")))
+    cent = _kmeans_codebook(emb)
+    sub = _pq_subvectors(emb)
+    cb = _pq_codebook(sub)
+    # corpus side: coarse cell + PQ codes per vector (inverted lists)
+    asgn_sim = (emb.select("vec_id", "v", "nrm")
+                .crossJoin(F.broadcast(cent))
+                .select("vec_id", "cell",
+                        _r6(_cosine(F.col("v"), F.col("cv"),
+                                    F.col("nrm"), F.col("cn")))
+                        .alias("acos")))
+    wa = Window.partitionBy("vec_id").orderBy(F.col("acos").desc(),
+                                              F.col("cell").asc())
+    cells = (asgn_sim.withColumn("arank", F.row_number().over(wa))
+             .filter(F.col("arank") == 1).select("vec_id", "cell"))
+    pdist = (sub.join(F.broadcast(cb), "m")
+             .select("vec_id", "m", "code",
+                     _r6(_l2(F.col("sv"), F.col("cv"))).alias("dist")))
+    wc = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("dist").asc(), F.col("code").asc())
+    codes = (pdist.withColumn("rn", F.row_number().over(wc))
+             .filter(F.col("rn") == 1)
+             .groupBy("vec_id")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("m", "code"))),
+                 lambda s: s.code).alias("codes")))
+    # both sides arrive hash-partitioned on vec_id from their windows;
+    # a shuffled hash join skips SMJ's per-partition sorts
+    inv = cells.join(codes.hint("shuffle_hash"), "vec_id")
+    # query side: NPROBE nearest cells + per-subspace ADC lookup table
+    q = (emb.filter(F.col("vec_id") < IVF_N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                 F.col("nrm").alias("qn")))
+    probe_sim = (F.broadcast(q).crossJoin(F.broadcast(cent))
+                 .select("query_id", "cell",
+                         _r6(_cosine(F.col("qv"), F.col("cv"),
+                                     F.col("qn"), F.col("cn")))
+                         .alias("pcos")))
+    wp = Window.partitionBy("query_id").orderBy(F.col("pcos").desc(),
+                                                F.col("cell").asc())
+    probes = (probe_sim.withColumn("prank", F.row_number().over(wp))
+              .filter(F.col("prank") <= IVF_NPROBE)
+              .select("query_id", "cell"))
+    lutr = (sub.filter(F.col("vec_id") < IVF_N_QUERIES)
+            .join(F.broadcast(cb), "m")
+            .select(F.col("vec_id").alias("query_id"), "m", "code",
+                    _r6(_l2(F.col("sv"), F.col("cv"))).alias("pd")))
+    lut = (lutr.groupBy("query_id", "m")
+           .agg(F.transform(
+               F.array_sort(F.collect_list(F.struct("code", "pd"))),
+               lambda s: s.pd).alias("lm"))
+           .groupBy("query_id")
+           .agg(F.transform(
+               F.array_sort(F.collect_list(F.struct("m", "lm"))),
+               lambda s: s.lm).alias("lut")))
+    # probe join on cell, then ADC scoring against the broadcast LUTs
+    scored = (F.broadcast(probes).join(inv, "cell")
+              .filter(F.col("query_id") != F.col("vec_id"))
+              .join(F.broadcast(lut), "query_id")
+              .select("query_id", F.col("vec_id").alias("cand_id"), "cell",
+                      _r6(F.aggregate(
+                          F.zip_with("codes", "lut",
+                                     lambda c, l: F.element_at(
+                                         l, (c + 1).cast("int"))),
+                          F.lit(0.0), lambda acc, v: acc + v))
+                      .alias("pq_dist")))
+    wr = Window.partitionBy("query_id").orderBy(F.col("pq_dist").asc(),
+                                                F.col("cand_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "rank", "cand_id", "cell", "pq_dist")
+            .orderBy("query_id", "rank"))
+
+
+ORACLE_ANN_IVFPQ_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+{_kmeans_ctes()},
+{_pq_ctes()},
+icell AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a='e.v', b='c.cv')} DESC,
+                      c.cell ASC) AS arank
+    FROM e CROSS JOIN cent c
+  ) WHERE arank = 1
+), enc2 AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_PQL2_SQL.format(
+                                  ds=PQ_DS, a='s.sv', b='c.cv')} ASC,
+                              c.code ASC) AS rn
+    FROM sub s JOIN cb c USING (m)
+  ) WHERE rn = 1
+), codes2 AS (
+  SELECT vec_id, list(code ORDER BY m) AS codes FROM enc2 GROUP BY vec_id
+), inv AS (
+  SELECT i.vec_id, i.cell, c.codes FROM icell i JOIN codes2 c USING (vec_id)
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, cent.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_COS_SQL.format(a='q.v', b='cv')} DESC, cell ASC)
+             AS prank
+    FROM e q CROSS JOIN cent WHERE q.vec_id < {IVF_N_QUERIES}
+  ) WHERE prank <= {IVF_NPROBE}
+), lutr2 AS (
+  SELECT s.vec_id AS query_id, s.m, c.code,
+         {_PQL2_SQL.format(ds=PQ_DS, a='s.sv', b='c.cv')} AS pd
+  FROM sub s JOIN cb c USING (m)
+  WHERE s.vec_id < {IVF_N_QUERIES}
+), lutm2 AS (
+  SELECT query_id, m, list(pd ORDER BY code) AS lm
+  FROM lutr2 GROUP BY query_id, m
+), lut2 AS (
+  SELECT query_id, list(lm ORDER BY m) AS lut FROM lutm2 GROUP BY query_id
+), scored AS (
+  SELECT p.query_id, inv.vec_id AS cand_id, inv.cell,
+         FLOOR(list_sum(list_transform(range(1, {PQ_M} + 1),
+                  i -> l.lut[i][inv.codes[i] + 1]))
+               * 1000000 + 0.5) / 1000000 AS pq_dist
+  FROM probes p
+  JOIN inv USING (cell)
+  JOIN lut2 l ON l.query_id = p.query_id
+  WHERE p.query_id != inv.vec_id
+), ranked AS (
+  SELECT query_id, cand_id, cell, pq_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY pq_dist ASC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, cand_id, cell, pq_dist
 FROM ranked WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """
@@ -933,6 +1087,7 @@ QUERIES = {
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "embedding_centroids": q_embedding_centroids,
     "embedding_kmeans": q_embedding_kmeans,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -945,6 +1100,7 @@ ORACLES = {
     "ann_lsh_buckets": ORACLE_ANN_LSH_BUCKETS,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "ann_pq_topk": ORACLE_ANN_PQ_TOPK,
+    "ann_ivfpq_topk": ORACLE_ANN_IVFPQ_TOPK,
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
     "embedding_kmeans": ORACLE_EMBEDDING_KMEANS,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,

@@ -359,3 +359,16 @@ def test_pq_plan_broadcasts_codebook_and_lut(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_ivfpq_one_cell_shuffle_no_smj(spark):
+    """IVF+PQ: codebooks/probes/LUTs all broadcast; no sort-merge join
+    and no unbounded cross join reach the corpus."""
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        q_ann_ivfpq_topk,
+    )
+
+    plan = _plan(q_ann_ivfpq_topk(spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -54,6 +54,12 @@ OPERATOR_QUERIES = [
     "pii_scrub",
     "bpe_pair_stats",
     "embedding_covariance",
+    "dedup_chunk_clean",
+    "bpe_encode",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "dedup_incremental",
+    "train_val_kl",
 ]
 
 
