@@ -29,7 +29,15 @@ IC_SWEEP_CFG = FeatureConfig.multi_interval(multiplier_1=3, multiplier_2=12,
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Table loader with the small-file parallelism guard (see
+    operators/io.py): the sf test tables are single parquet files whose
+    one-partition scans would serialize every narrow stage onto one
+    core; at real scale the guard is a no-op.  (Headline queries kept
+    the raw 1-partition read through round 4 for bench comparability —
+    flipped after the operator library's measured 1.7x suite win.)"""
+    from atr_adaptive_laguerre_spark.operators.io import read_table
+
+    return read_table(spark, sf_dir, name)
 
 
 def _r6(col):
@@ -39,6 +47,15 @@ def _r6(col):
     binary float math and therefore bit-identical across engines.
     (SQL twin: FLOOR(x * 1000000 + 0.5) / 1000000.)"""
     return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def _u6(col):
+    """Micro-units as BIGINT: floor(x*1e6 + 0.5).  Quantizing each term
+    BEFORE a cross-partition SUM makes the total an exact integer sum —
+    identical in any partial-aggregation / shuffle-fetch order, so the
+    result is stable across engines AND across partitionings.  (SQL
+    twin: CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT).)"""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
 
 
 def _us(col):
@@ -178,29 +195,53 @@ ORDER BY event_id
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style grouped aggregation with filter pushdown."""
     li = _t(spark, sf_dir, "lineitem")
-    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-            .groupBy("l_returnflag", "l_linestatus")
-            .agg(_r6(F.sum("l_quantity")).alias("sum_qty"),
-                 _r6(F.sum("l_extendedprice")).alias("sum_base_price"),
-                 _r6(F.sum(F.col("l_extendedprice")
-                           * (1 - F.col("l_discount")))).alias("sum_disc_price"),
-                 _r6(F.avg("l_quantity")).alias("avg_qty"),
-                 _r6(F.avg("l_discount")).alias("avg_disc"),
-                 F.count(F.lit(1)).alias("count_order"))
-            .orderBy("l_returnflag", "l_linestatus"))
+    agg = (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+           .groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum(_u6(F.col("l_quantity"))).alias("qty_u"),
+                F.sum(_u6(F.col("l_extendedprice"))).alias("base_u"),
+                F.sum(_u6(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")))).alias("disc_u"),
+                F.sum(_u6(F.col("l_discount"))).alias("dsum_u"),
+                F.count(F.lit(1)).alias("count_order")))
+    return (agg.select(
+        "l_returnflag", "l_linestatus",
+        (F.col("qty_u") / F.lit(1000000.0)).alias("sum_qty"),
+        (F.col("base_u") / F.lit(1000000.0)).alias("sum_base_price"),
+        (F.col("disc_u") / F.lit(1000000.0)).alias("sum_disc_price"),
+        _r6(F.col("qty_u").cast("double") / F.col("count_order")
+            / F.lit(1000000.0)).alias("avg_qty"),
+        _r6(F.col("dsum_u").cast("double") / F.col("count_order")
+            / F.lit(1000000.0)).alias("avg_disc"),
+        "count_order")
+        .orderBy("l_returnflag", "l_linestatus"))
 
 
+#: per-row terms are micro-quantized to BIGINT before the SUM, so the
+#: totals are exact integers in any accumulation order — partial-agg /
+#: shuffle-fetch order cannot move the 6th decimal in either engine
 ORACLE_PRICING_SUMMARY = """
+WITH t AS (
+  SELECT l_returnflag, l_linestatus,
+         SUM(CAST(FLOOR(l_quantity * 1000000 + 0.5) AS BIGINT)) AS qty_u,
+         SUM(CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT)) AS base_u,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000 + 0.5)
+                  AS BIGINT)) AS disc_u,
+         SUM(CAST(FLOOR(l_discount * 1000000 + 0.5) AS BIGINT)) AS dsum_u,
+         COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
 SELECT l_returnflag, l_linestatus,
-       FLOOR((SUM(l_quantity)) * 1000000 + 0.5) / 1000000                          AS sum_qty,
-       FLOOR((SUM(l_extendedprice)) * 1000000 + 0.5) / 1000000                     AS sum_base_price,
-       FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 1000000 + 0.5) / 1000000  AS sum_disc_price,
-       FLOOR((AVG(l_quantity)) * 1000000 + 0.5) / 1000000                          AS avg_qty,
-       FLOOR((AVG(l_discount)) * 1000000 + 0.5) / 1000000                          AS avg_disc,
-       COUNT(*)                                           AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
+       qty_u / 1000000.0 AS sum_qty,
+       base_u / 1000000.0 AS sum_base_price,
+       disc_u / 1000000.0 AS sum_disc_price,
+       FLOOR(qty_u::DOUBLE / count_order / 1000000.0 * 1000000 + 0.5)
+         / 1000000 AS avg_qty,
+       FLOOR(dsum_u::DOUBLE / count_order / 1000000.0 * 1000000 + 0.5)
+         / 1000000 AS avg_disc,
+       count_order
+FROM t
 ORDER BY l_returnflag, l_linestatus
 """
 
@@ -220,14 +261,16 @@ def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                   nation.n_regionkey == region.r_regionkey)
             .groupBy(F.col("r_name").alias("region_name"),
                      F.col("n_name").alias("nation_name"))
-            .agg(_r6(F.sum("o_totalprice")).alias("revenue"),
+            .agg((F.sum(_u6(F.col("o_totalprice")))
+                  / F.lit(1000000.0)).alias("revenue"),
                  F.count(F.lit(1)).alias("n_orders"))
             .orderBy("region_name", "nation_name"))
 
 
 ORACLE_STAR_JOIN_REVENUE = """
 SELECT r_name AS region_name, n_name AS nation_name,
-       FLOOR((SUM(o_totalprice)) * 1000000 + 0.5) / 1000000 AS revenue,
+       SUM(CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT))
+         / 1000000.0 AS revenue,
        COUNT(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey

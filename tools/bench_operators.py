@@ -67,6 +67,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=4)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated subset of OPERATOR_QUERIES "
+                         "(e.g. the doc-table ops for the sf1 scale run)")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -87,7 +90,13 @@ def main() -> None:
     spreads: dict[str, float] = {}
     rows_out: dict[str, int] = {}
 
-    for name in OPERATOR_QUERIES:
+    names = OPERATOR_QUERIES
+    if args.only:
+        names = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = set(names) - set(OPERATOR_QUERIES)
+        assert not unknown, f"not in OPERATOR_QUERIES: {sorted(unknown)}"
+
+    for name in names:
         fn = QUERIES[name]
         # warm-up (JVM codegen + Python worker pools), and record the
         # output cardinality once — for the pair queries this IS the
@@ -117,7 +126,8 @@ def main() -> None:
         "cpus": cpus,
         "pair_density_simhash": round(
             rows_out["dedup_simhash_pairs"]
-            / (n_docs * (n_docs - 1) / 2), 6) if n_docs > 1 else None,
+            / (n_docs * (n_docs - 1) / 2), 6)
+        if n_docs > 1 and "dedup_simhash_pairs" in timings else None,
     }
     spark.stop()
     line = json.dumps(out)
