@@ -29,15 +29,16 @@ IC_SWEEP_CFG = FeatureConfig.multi_interval(multiplier_1=3, multiplier_2=12,
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Table loader with the small-file parallelism guard (see
-    operators/io.py): the sf test tables are single parquet files whose
-    one-partition scans would serialize every narrow stage onto one
-    core; at real scale the guard is a no-op.  (Headline queries kept
-    the raw 1-partition read through round 4 for bench comparability —
-    flipped after the operator library's measured 1.7x suite win.)"""
-    from atr_adaptive_laguerre_spark.operators.io import read_table
-
-    return read_table(spark, sf_dir, name)
+    """Raw scan — deliberately NOT the operators/io.read_table
+    parallelism guard.  Measured both ways at sf0.1 (r4): every
+    headline catalog query here is exchange-first (groupBy / join /
+    window directly on the scan), so its first shuffle already fans the
+    table out to all cores and a round-robin pre-repartition just adds
+    a full extra pass — 2.0x slower on the five window queries (8.1 s
+    vs 4.0 s min-of-5).  The guard wins only where heavy NARROW work
+    sits between scan and first exchange (shingling, tokenization,
+    regex — the operator library's 1.7x suite win); there it stays."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def _r6(col):
