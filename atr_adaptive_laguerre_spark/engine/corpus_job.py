@@ -257,12 +257,20 @@ def prepare_corpus(spark: SparkSession, docs: DataFrame, output_dir: str,
                    min_tokens: int = MIN_TOKENS,
                    min_quality: float = MIN_QUALITY,
                    near_dup: bool = True,
+                   chunk_dedup: bool = False,
                    seq_len: int = SEQ_LEN) -> dict:
     """Run the composed pipeline over a documents frame and write the
     curated, scrubbed, shuffled, packing-annotated corpus to
     ``output_dir`` partitioned by shard.  Returns a summary dict; with
     ``manifest_dir``, appends one lineage row per stage (and the
-    canonicalization rounds via ``canonicalize_with_manifest``)."""
+    canonicalization rounds via ``canonicalize_with_manifest``).
+
+    ``chunk_dedup=True`` inserts the RefinedWeb-style sub-document pass
+    between gating and PII scrub: duplicated fixed-width chunks are
+    physically removed from surviving docs (keep-first over the KEPT
+    set — cleaning against already-dropped near-dups would delete text
+    whose first instance no longer exists), token counts re-derived
+    from the cleaned text, and docs cleaned down to nothing dropped."""
     run_id = run_id or uuid.uuid4().hex[:12]
     t0 = time.time()
     stages: list[tuple[str, int, int, int, float]] = []
@@ -294,6 +302,23 @@ def prepare_corpus(spark: SparkSession, docs: DataFrame, output_dir: str,
 
     ts = time.time()
     kept = _gated(docs, min_tokens, min_quality, nd)
+    if chunk_dedup:
+        from atr_adaptive_laguerre_spark.operators.dedup import (
+            chunk_clean_frame,
+        )
+
+        cleaned = (chunk_clean_frame(kept)
+                   .filter(F.col("clean_text") != "")
+                   .select("doc_id",
+                           F.col("clean_text").alias("text"),
+                           F.size(F.split("clean_text", r"\s+"))
+                           .cast("bigint").alias("n_tokens")))
+        n_gated = kept.count()
+        kept = (kept.drop("text", "n_tokens")
+                .join(cleaned, "doc_id"))
+        stages.append(("chunk_clean", n_gated, int(kept.count()),
+                       0, time.time() - ts))
+        ts = time.time()
     scrubbed = (pii_scrub_cols(kept)
                 .select("doc_id", "source", "n_tokens",
                         F.col("redacted").alias("text"),

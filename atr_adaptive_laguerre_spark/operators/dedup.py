@@ -751,7 +751,7 @@ def chunk_texts_col(width: int = CHUNK_W):
         F.array().cast("array<string>"))
 
 
-def chunk_clean(docs: DataFrame, width: int = CHUNK_W) -> DataFrame:
+def chunk_clean_frame(docs: DataFrame, width: int = CHUNK_W) -> DataFrame:
     """The TRANSFORMATION half of cross-document chunk dedup: emit each
     document with duplicated chunks physically removed, not just
     counted.  An instance (doc, position) of a chunk survives iff it is
@@ -760,13 +760,14 @@ def chunk_clean(docs: DataFrame, width: int = CHUNK_W) -> DataFrame:
     within-doc repeats.  The trailing ``len % width`` words are not a
     comparable unit and are always kept.
 
+    Returns ``(doc_id, n_chunks, n_kept, clean_text)`` — the full
+    cleaned text, for the corpus pipeline; :func:`chunk_clean` narrows
+    it to an md5 report for the driver gate.
+
     Scale shape: one posexplode (linear), one window over chash whose
     partition is that chunk's instance list (bounded by duplication —
     never a self-join), one doc_id groupBy to re-assemble kept chunks in
-    position order.  All string/array work is JVM-side; cleaned text is
-    reported as md5 + word count so the operator's output stays narrow
-    at any corpus size (the full cleaned text is the same expression,
-    un-hashed, for a sink that wants it)."""
+    position order.  All string/array work is JVM-side."""
     base = docs.select("doc_id", _words().alias("wrds"),
                        chunk_texts_col(width).alias("chs"))
     inst = (base.select("doc_id", F.posexplode("chs").alias("p", "chunk"))
@@ -794,10 +795,21 @@ def chunk_clean(docs: DataFrame, width: int = CHUNK_W) -> DataFrame:
     clean = F.concat_ws(" ", F.nullif(F.coalesce("body", F.lit("")),
                                       F.lit("")),
                         F.nullif(F.col("tail"), F.lit("")))
-    return (out.select(
+    return out.select(
         "doc_id",
         F.coalesce("n_chunks", F.lit(0)).cast("bigint").alias("n_chunks"),
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        clean.alias("clean_text"))
+
+
+def chunk_clean(docs: DataFrame, width: int = CHUNK_W) -> DataFrame:
+    """Driver-gate report over :func:`chunk_clean_frame`: cleaned text
+    narrowed to md5 + word count so the output stays narrow at any
+    corpus size."""
+    f = chunk_clean_frame(docs, width)
+    clean = F.col("clean_text")
+    return (f.select(
+        "doc_id", "n_chunks", "n_kept",
         _r6(F.col("n_kept").cast("double")
             / F.nullif(F.col("n_chunks"), F.lit(0)).cast("double"))
         .alias("kept_frac"),

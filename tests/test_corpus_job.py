@@ -135,3 +135,40 @@ def test_resumable_interrupt_and_resume(spark, prepared, tmp_path):
     assert (stages["stage"] == "staging_commit").sum() == 1
     assert (stages["stage"].str.startswith("shard:")).sum() \
         == SHUFFLE_SHARDS
+
+
+def test_chunk_dedup_stage(spark, tmp_path):
+    """chunk_dedup=True physically removes globally-duplicated chunks
+    from later docs, re-derives token counts from the cleaned text, and
+    records a chunk_clean lineage stage."""
+    from atr_adaptive_laguerre_spark.engine.corpus_job import (
+        prepare_corpus,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(64))
+    filler = " ".join(f"u{i}" for i in range(64))
+    rows = [
+        (1, shared + " tail one alpha beta", "en", "src0", 0),
+        (2, filler + " " + shared + " tail two gamma", "en", "src0", 0),
+        (3, " ".join(f"v{i}" for i in range(70)), "en", "src1", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars int")
+    out_dir = str(tmp_path / "out")
+    summary = prepare_corpus(
+        spark, docs, out_dir, manifest_dir=str(tmp_path / "m"),
+        run_id="ckrun", min_tokens=10, min_quality=0.0,
+        near_dup=False, chunk_dedup=True)
+    out = spark.read.parquet(out_dir).toPandas().set_index("doc_id")
+
+    # doc 2 lost the shared 64-word chunk (first instance lives in doc 1)
+    assert out.loc[2, "n_tokens"] == 64 + 3
+    assert "w0" not in out.loc[2, "text"]
+    assert "w0" in out.loc[1, "text"]
+    # counts re-derived from cleaned text, packing consistent with them
+    assert summary["n_tokens_out"] == int(out["n_tokens"].sum())
+    stages = (spark.read.parquet(str(tmp_path / "m" / "stages"))
+              .toPandas())
+    ck = stages[stages["stage"] == "chunk_clean"]
+    assert len(ck) == 1 and ck.iloc[0]["n_docs_out"] == 3
