@@ -47,3 +47,70 @@ def stream_dedup_exact(spark: SparkSession, input_dir: str, output_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+#: crawl-increment stream schema (no event time needed — the index join
+#: is stateless per micro-batch; ordering state lives in the index)
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def stream_incremental_neardup(spark: SparkSession, input_dir: str,
+                               index_dir: str, output_dir: str,
+                               checkpoint_dir: str) -> None:
+    """Streaming ingestion against a PERSISTED MinHash-LSH index — the
+    daily-crawl shape of web-scale near-dup dedup as a continuous
+    pipeline: each micro-batch of new documents is matched against the
+    index (``incremental_dedup_report`` — only the batch side is
+    shingled, the indexed corpus's text is never touched), surviving
+    docs append to the curated output, and the index GROWS by exactly
+    the kept docs, so a near-copy of anything ingested in an earlier
+    batch is caught in a later one.
+
+    Layout: ``index_dir/bands/batch=*`` and ``index_dir/shingles/
+    batch=*`` (the initial corpus lives under ``batch=init``); output
+    under ``output_dir/batch=*``.  Idempotence: every write is an
+    OVERWRITE of its own ``batch=<id>`` subdirectory, so a micro-batch
+    retried after a crash rewrites the same paths instead of appending
+    duplicates — the same dynamic-partition-overwrite discipline as the
+    feature job's manifest waves.
+
+    Within-batch exact duplicates collapse on the content hash first
+    (min doc_id survives, the batch operator's rule); within-batch
+    NEAR-dup pairs are the nightly batch canonicalization's job — an
+    increment is small relative to the corpus, and doing full LSH
+    inside every micro-batch would re-create the batch operator.
+    """
+    from pyspark.sql import Window
+
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        band_signatures, incremental_dedup_report, shingles_col,
+    )
+
+    def process(batch, batch_id: int) -> None:
+        norm = F.concat_ws(
+            " ", F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        w = Window.partitionBy("chash")
+        b = (batch.withColumn("chash", F.md5(norm))
+             .withColumn("keep",
+                         F.col("doc_id") == F.min("doc_id").over(w))
+             .filter("keep").select("doc_id", "text"))
+        sp = batch.sparkSession
+        bands = sp.read.parquet(f"{index_dir}/bands").drop("batch")
+        shingles = sp.read.parquet(f"{index_dir}/shingles").drop("batch")
+        rep = incremental_dedup_report(b, bands, shingles)
+        kept = (b.join(rep.filter(F.col("n_dups") == 0)
+                       .select("doc_id"), "doc_id"))
+        kept.write.mode("overwrite").parquet(
+            f"{output_dir}/batch={batch_id}")
+        band_signatures(kept).write.mode("overwrite").parquet(
+            f"{index_dir}/bands/batch={batch_id}")
+        (kept.select("doc_id", shingles_col().alias("sh"))
+         .write.mode("overwrite").parquet(
+             f"{index_dir}/shingles/batch={batch_id}"))
+
+    sdf = spark.readStream.schema(DOC_SCHEMA).parquet(input_dir)
+    q = (sdf.writeStream.foreachBatch(process)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -679,3 +679,56 @@ def test_bars_since_event_exactly_hist_bars_back():
         b = want[col][0]
         ok = (a == b) | (np.isnan(a) & np.isnan(b))
         assert ok.all(), (col, np.where(~ok)[0][:5])
+
+
+def test_stream_incremental_neardup_grows_index(spark, tmp_path):
+    """Crawl-increment streaming dedup: batch 1's near-dup of an
+    INDEXED doc is dropped and its fresh docs are kept (within-batch
+    exact dups collapse to min doc_id); after batch 1 commits, the
+    index has grown, so batch 2's near-copy of a batch-1 doc is also
+    dropped.  Re-running the stream on the same checkpoint is a no-op."""
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        band_signatures, shingles_col,
+    )
+    from atr_adaptive_laguerre_spark.streaming.dedup import (
+        stream_incremental_neardup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again while the indexing pipeline watches every word")
+    fresh = ("totally novel crawl content mentioning catalyst plans "
+             "and arrow batches and nothing else that was seen before")
+    idx = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    index_dir = str(tmp_path / "index")
+    band_signatures(idx).write.parquet(f"{index_dir}/bands/batch=init")
+    (idx.select("doc_id", shingles_col().alias("sh"))
+     .write.parquet(f"{index_dir}/shingles/batch=init"))
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = spark.createDataFrame(
+        [(100, base + " with a tiny suffix edit"),   # near-dup of indexed
+         (101, fresh),                                # fresh -> kept+indexed
+         (102, fresh + " extra exact"), (103, fresh + " extra exact")],
+        "doc_id long, text string")
+    b1.coalesce(1).write.mode("append").parquet(input_dir)
+    stream_incremental_neardup(spark, input_dir, index_dir, out_dir, ckpt)
+
+    out = spark.read.parquet(out_dir).toPandas()
+    assert sorted(out["doc_id"]) == [101, 102]   # 100 dropped, 103 exact-dup
+
+    # idempotent re-run: no new input -> nothing changes
+    stream_incremental_neardup(spark, input_dir, index_dir, out_dir, ckpt)
+    assert sorted(spark.read.parquet(out_dir).toPandas()["doc_id"]) \
+        == [101, 102]
+
+    # batch 2: near-copy of the batch-1 doc 101 -> caught by the GROWN index
+    b2 = spark.createDataFrame(
+        [(200, fresh + " trailing tweak"), (201, "another entirely new "
+          "document about watermark semantics and state stores")],
+        "doc_id long, text string")
+    b2.coalesce(1).write.mode("append").parquet(input_dir)
+    stream_incremental_neardup(spark, input_dir, index_dir, out_dir, ckpt)
+    out2 = spark.read.parquet(out_dir).toPandas()
+    assert sorted(out2["doc_id"]) == [101, 102, 201]
