@@ -1311,3 +1311,36 @@ def test_pq_codes_dense_and_duplicate_attains_min(spark):
     dup_rows = g3[g3["cand_id"] == 100]
     assert not dup_rows.empty, "planted duplicate missing from top-3"
     assert dup_rows.iloc[0]["pq_dist"] == best["pq_dist"]
+
+
+def test_bpe_encode_randomized_vs_reference(spark):
+    """Seeded fuzz: 150 random texts over a 4-letter alphabet (high
+    merge-collision density) x a random chained merge list — the
+    Catalyst replace-chain must match the per-word left-to-right apply
+    on every row."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from atr_adaptive_laguerre_spark.operators.text import bpe_encode_col
+
+    rng = random.Random(1234)
+    sym = "abcd"
+    merges = [("a", "a"), ("b", "c"), ("a", "bc"), ("abc", "d"),
+              ("d", "a"), ("aa", "aa")]
+    texts = [
+        " ".join("".join(rng.choice(sym)
+                         for _ in range(rng.randint(1, 12)))
+                 for _ in range(rng.randint(1, 8)))
+        for _ in range(150)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = (docs.select("doc_id",
+                       bpe_encode_col(F.col("text"), merges).alias("e"))
+           .orderBy("doc_id").toPandas())
+    for i, t in enumerate(texts):
+        want = " ".join(
+            "".join(f"<{s}>" for s in syms)
+            for syms in _bpe_encode_py(t, merges))
+        assert got.loc[i, "e"] == want, (t, got.loc[i, "e"], want)
