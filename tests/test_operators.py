@@ -1344,3 +1344,36 @@ def test_bpe_encode_randomized_vs_reference(spark):
             "".join(f"<{s}>" for s in syms)
             for syms in _bpe_encode_py(t, merges))
         assert got.loc[i, "e"] == want, (t, got.loc[i, "e"], want)
+
+
+def test_pq_index_build_query_matches_inline(spark, tmp_path):
+    """The persisted IVF+PQ index must serve EXACTLY what the inline
+    retrain-per-call query computes on the same corpus (training is
+    deterministic), and the inverted-list scan must prune to the
+    probed cells' partition directories."""
+    from pyspark.sql import functions as F
+
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        IVF_N_QUERIES, build_pq_index, q_ann_ivfpq_topk, query_pq_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = (spark.read.parquet(f"{sf}/embeddings.parquet")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v")))
+    idx = str(tmp_path / "pq_index")
+    build_pq_index(emb, idx)
+
+    queries = emb.filter(F.col("vec_id") < IVF_N_QUERIES)
+    served = query_pq_index(spark, idx, queries)
+    inline = q_ann_ivfpq_topk(spark, sf)
+    sp = served.toPandas().reset_index(drop=True)
+    ip = inline.toPandas().reset_index(drop=True)
+    assert sp.equals(ip), (sp.head(), ip.head())
+
+    # partition pruning: the cell predicate reaches the inv scan as a
+    # PARTITION filter (directory-level pruning), not a data filter
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN", plan, re.S)
+    assert m is not None, plan[:3000]
