@@ -40,6 +40,10 @@ def main() -> None:
     ap.add_argument("--min-quality", type=float, default=MIN_QUALITY)
     ap.add_argument("--seq-len", type=int, default=SEQ_LEN)
     ap.add_argument("--no-near-dup", action="store_true")
+    ap.add_argument("--chunk-dedup", action="store_true",
+                    help="RefinedWeb-style sub-document pass: remove "
+                         "globally-duplicated fixed-width chunks from "
+                         "kept docs")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -55,7 +59,7 @@ def main() -> None:
         spark, docs, args.output, manifest_dir=args.manifest,
         run_id=args.run_id, min_tokens=args.min_tokens,
         min_quality=args.min_quality, near_dup=not args.no_near_dup,
-        seq_len=args.seq_len)
+        chunk_dedup=args.chunk_dedup, seq_len=args.seq_len)
     print(json.dumps(summary))
 
 
