@@ -1187,6 +1187,109 @@ def principal_axis(cov: "list[list[float]]", iters: int = 512):
     return v, lam
 
 
+SEM_TAU = 0.35
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the TRAINED k-means
+    codebook (:func:`_kmeans_codebook`), run exact pairwise cosine ONLY
+    within each cluster, and greedily keep the lowest ``vec_id`` of
+    every pair whose r6-quantized cosine >= ``SEM_TAU`` (a vector is
+    dropped iff some smaller-id vector in its cell is semantically
+    close — deterministic in both engines).  Output: every vector with
+    its cell, how many semantic-duplicate pairs it participates in,
+    and the keep flag.
+
+    Distinct from ``dedup_embedding_cosine`` (LSH-candidate near-dup
+    pairs at a high threshold): SemDeDup prunes *semantically
+    redundant* — not merely near-identical — items, and bounds the
+    quadratic term by clustering rather than by hashing.
+
+    At 100 TB: the published SemDeDup recipe — the codebook size k
+    scales with the corpus (k ~ N / target_cell_size) so cells stay
+    bounded and the pairwise term is sum_c |cell_c|^2 ~ N x
+    target_cell_size; the pair stage is ONE cell-keyed self-join (no
+    corpus-wide cross join; the codebook broadcast is O(k x dim)).
+    The trailing per-id joins are plain shuffled joins — the drop set
+    is corpus-proportional on redundant corpora, so no broadcast hint
+    (AQE may still choose one when it is small)."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    emb = emb.withColumn("nrm", _norm(F.col("v")))   # once per vector
+    cent = _kmeans_codebook(emb)
+    sim = (emb.crossJoin(F.broadcast(cent))
+           .select("vec_id", "v", "nrm", "cell",
+                   _r6(_cosine(F.col("v"), F.col("cv"),
+                               F.col("nrm"), F.col("cn"))).alias("acos")))
+    wa = Window.partitionBy("vec_id").orderBy(F.col("acos").desc(),
+                                              F.col("cell").asc())
+    assigned = (sim.withColumn("rn", F.row_number().over(wa))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "v", "nrm", "cell"))
+    a = assigned.select(F.col("vec_id").alias("vec_a"), "cell",
+                        F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = assigned.select(F.col("vec_id").alias("vec_b"), "cell",
+                        F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = (a.join(b, "cell")
+             .filter(F.col("vec_a") < F.col("vec_b"))
+             .select("cell", "vec_a", "vec_b",
+                     _r6(_cosine(F.col("va"), F.col("vb"),
+                                 F.col("na"), F.col("nb"))).alias("cos_sim"))
+             .filter(F.col("cos_sim") >= SEM_TAU))
+    part = (pairs.select(F.col("vec_a").alias("vec_id"))
+            .unionByName(pairs.select(F.col("vec_b").alias("vec_id")))
+            .groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_similar")))
+    drops = (pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+             .withColumn("dropped", F.lit(1)))
+    return (assigned.select("vec_id", "cell")
+            .join(part, "vec_id", "left")
+            .join(drops, "vec_id", "left")
+            .select("vec_id", "cell",
+                    F.coalesce(F.col("n_similar"), F.lit(0))
+                    .cast("bigint").alias("n_similar"),
+                    F.when(F.col("dropped").isNull(), F.lit(1))
+                    .otherwise(F.lit(0)).cast("int").alias("is_kept"))
+            .orderBy("vec_id"))
+
+
+ORACLE_DEDUP_SEMANTIC = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+{_kmeans_ctes()},
+asgn AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a='e.v', b='c.cv')} DESC,
+                      c.cell ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+), pairs AS (
+  SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= {SEM_TAU}
+), part AS (
+  SELECT vec_id, COUNT(*)::BIGINT AS n_similar FROM (
+    SELECT vec_a AS vec_id FROM pairs
+    UNION ALL
+    SELECT vec_b AS vec_id FROM pairs
+  ) GROUP BY vec_id
+), drops AS (
+  SELECT DISTINCT vec_b AS vec_id FROM pairs
+)
+SELECT g.vec_id, g.cell,
+       COALESCE(p.n_similar, 0)::BIGINT AS n_similar,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS is_kept
+FROM asgn g
+LEFT JOIN part p ON p.vec_id = g.vec_id
+LEFT JOIN drops d ON d.vec_id = g.vec_id
+ORDER BY g.vec_id
+"""
+
+
 QUERIES = {
     "ann_topk_cosine": q_ann_topk_cosine,
     "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -1197,6 +1300,7 @@ QUERIES = {
     "embedding_kmeans": q_embedding_kmeans,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_canonicalize": q_dedup_embedding_canonicalize,
+    "dedup_semantic": q_dedup_semantic,
     "embedding_covariance": q_embedding_covariance,
 }
 
@@ -1210,5 +1314,6 @@ ORACLES = {
     "embedding_kmeans": ORACLE_EMBEDDING_KMEANS,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
     "dedup_embedding_canonicalize": ORACLE_DEDUP_EMBEDDING_CANONICALIZE,
+    "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
     "embedding_covariance": ORACLE_EMBEDDING_COVARIANCE,
 }

@@ -1377,3 +1377,76 @@ def test_pq_index_build_query_matches_inline(spark, tmp_path):
     import re
     m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN", plan, re.S)
     assert m is not None, plan[:3000]
+
+
+def test_dedup_semantic_brute_force_and_planted(spark):
+    """SemDeDup stage-2/3 exactness: given the engine's own cell
+    assignment, recompute within-cell pairs / n_similar / keep flags
+    with a sequential-fold numpy oracle (the same IEEE op order as the
+    JVM's ``aggregate`` fold) and compare exactly; planted
+    near-identical twins must lose their higher id wherever both twins
+    land in the same cell.  (Full cross-engine value check runs in the
+    DuckDB gate; this pins the pair/keep semantics independently.)"""
+    import math
+
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        SEM_TAU, q_dedup_semantic,
+    )
+
+    rng = np.random.default_rng(17)
+    rows = []
+    twins = []
+    vid = 0
+    for i in range(20):
+        base = rng.normal(size=64)
+        base /= np.linalg.norm(base)
+        twin = base + 0.03 * rng.normal(size=64)
+        lone = rng.normal(size=64)
+        rows.append((vid, [float(x) for x in base], i))
+        rows.append((vid + 1, [float(x) for x in twin], i))
+        rows.append((vid + 2, [float(x) for x in lone], i))
+        twins.append((vid, vid + 1))
+        vid += 3
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    path = "/tmp/semdedup_corpus"
+    df.write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+
+    out = (q_dedup_semantic(spark, path).toPandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert len(out) == vid
+
+    f32 = {v: np.asarray(vec, dtype=np.float32).astype(np.float64)
+           for v, vec, _ in rows}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    nrm = {v: math.sqrt(fold_dot(f32[v], f32[v])) for v in f32}
+    cell = dict(zip(out["vec_id"], out["cell"]))
+    ids = sorted(f32)
+    n_similar = {v: 0 for v in ids}
+    dropped = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if cell[a] != cell[b]:
+                continue
+            cos = r6(fold_dot(f32[a], f32[b]) / (nrm[a] * nrm[b]))
+            if cos >= SEM_TAU:
+                n_similar[a] += 1
+                n_similar[b] += 1
+                dropped.add(b)
+    assert out["n_similar"].tolist() == [n_similar[v] for v in ids]
+    assert out["is_kept"].tolist() == [
+        0 if v in dropped else 1 for v in ids]
+
+    # planted twins: wherever both share a cell, the higher id drops
+    co_celled = [(a, b) for a, b in twins if cell[a] == cell[b]]
+    assert len(co_celled) >= 16, co_celled
+    assert all(b in dropped for _, b in co_celled)

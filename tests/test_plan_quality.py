@@ -372,3 +372,19 @@ def test_ivfpq_one_cell_shuffle_no_smj(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_dedup_semantic_pairs_join_on_cell(spark):
+    """SemDeDup's pairwise stage must be the cell-keyed self-join —
+    no corpus x corpus cartesian; the only nested-loop joins are the
+    O(cells) broadcast codebook assignments, and every shuffled join
+    runs on the cell or vec_id key."""
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        q_dedup_semantic,
+    )
+
+    plan = _plan(q_dedup_semantic(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
+            assert ("cell" in line or "vec_id" in line), line

@@ -60,6 +60,7 @@ OPERATOR_QUERIES = [
     "ann_ivfpq_topk",
     "dedup_incremental",
     "train_val_kl",
+    "dedup_semantic",
 ]
 
 
