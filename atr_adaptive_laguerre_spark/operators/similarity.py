@@ -1290,6 +1290,86 @@ ORDER BY g.vec_id
 """
 
 
+KNN_K = 3
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide k-NN graph restricted to trained k-means cells — the
+    building block for graph-based clustering, label propagation, and
+    SemDeDup-family pruning: for EVERY corpus vector (not a bounded
+    query set — contrast ``ann_*``), its ``KNN_K`` nearest same-cell
+    neighbors by r6-quantized cosine (ties -> lowest neighbor id).
+    One broadcast codebook join + one cell-keyed self-join + one
+    vec-keyed window; cells with fewer than K+1 members yield fewer
+    rows (no padding).
+
+    At 100 TB: the same bound as ``dedup_semantic`` — the pairwise
+    term is sum_c |cell_c|^2 with the codebook size k scaled to hold
+    cells at a target size; never a corpus cross join.  An
+    IVF-multiprobe variant would lift the same-cell edge restriction
+    at NPROBE x the scan cost."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    emb = emb.withColumn("nrm", _norm(F.col("v")))   # once per vector
+    cent = _kmeans_codebook(emb)
+    sim = (emb.crossJoin(F.broadcast(cent))
+           .select("vec_id", "v", "nrm", "cell",
+                   _r6(_cosine(F.col("v"), F.col("cv"),
+                               F.col("nrm"), F.col("cn"))).alias("acos")))
+    wa = Window.partitionBy("vec_id").orderBy(F.col("acos").desc(),
+                                              F.col("cell").asc())
+    assigned = (sim.withColumn("rn", F.row_number().over(wa))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "v", "nrm", "cell"))
+    a = assigned.select("vec_id", "cell",
+                        F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = assigned.select(F.col("vec_id").alias("neighbor_id"), "cell",
+                        F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    edges = (a.join(b, "cell")
+             .filter(F.col("vec_id") != F.col("neighbor_id"))
+             .select("vec_id", "neighbor_id", "cell",
+                     _r6(_cosine(F.col("va"), F.col("vb"),
+                                 F.col("na"), F.col("nb")))
+                     .alias("cos_sim")))
+    wr = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(),
+                                              F.col("neighbor_id").asc())
+    return (edges.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= KNN_K)
+            .select("vec_id", "rank", "neighbor_id", "cell", "cos_sim")
+            .orderBy("vec_id", "rank"))
+
+
+ORACLE_KNN_GRAPH = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+{_kmeans_ctes()},
+asgn AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a='e.v', b='c.cv')} DESC,
+                      c.cell ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+), edges AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id, a.cell,
+         {_COS_SQL.format(a='a.v', b='b.v')} AS cos_sim
+  FROM asgn a JOIN asgn b
+    ON a.cell = b.cell AND a.vec_id != b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, cell, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM edges
+)
+SELECT vec_id, rank, neighbor_id, cell, cos_sim
+FROM ranked WHERE rank <= {KNN_K}
+ORDER BY vec_id, rank
+"""
+
+
 QUERIES = {
     "ann_topk_cosine": q_ann_topk_cosine,
     "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -1301,6 +1381,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_canonicalize": q_dedup_embedding_canonicalize,
     "dedup_semantic": q_dedup_semantic,
+    "knn_graph": q_knn_graph,
     "embedding_covariance": q_embedding_covariance,
 }
 
@@ -1315,5 +1396,6 @@ ORACLES = {
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
     "dedup_embedding_canonicalize": ORACLE_DEDUP_EMBEDDING_CANONICALIZE,
     "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
+    "knn_graph": ORACLE_KNN_GRAPH,
     "embedding_covariance": ORACLE_EMBEDDING_COVARIANCE,
 }

@@ -1450,3 +1450,74 @@ def test_dedup_semantic_brute_force_and_planted(spark):
     co_celled = [(a, b) for a, b in twins if cell[a] == cell[b]]
     assert len(co_celled) >= 16, co_celled
     assert all(b in dropped for _, b in co_celled)
+
+
+def test_knn_graph_matches_brute_force(spark):
+    """k-NN graph exactness given the engine's own cell assignment:
+    recompute every vector's within-cell top-K by the same
+    sequential-fold cosine and compare (vec_id, rank, neighbor_id)
+    exactly; each planted twin's rank-1 neighbor must be its twin."""
+    import math
+
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        KNN_K, q_knn_graph,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    vid = 0
+    twins = []
+    for i in range(15):
+        base = rng.normal(size=64)
+        base /= np.linalg.norm(base)
+        twin = base + 0.03 * rng.normal(size=64)
+        lone = rng.normal(size=64)
+        rows.append((vid, [float(x) for x in base], i))
+        rows.append((vid + 1, [float(x) for x in twin], i))
+        rows.append((vid + 2, [float(x) for x in lone], i))
+        twins.append((vid, vid + 1))
+        vid += 3
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    path = "/tmp/knn_graph_corpus"
+    df.write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+
+    out = (q_knn_graph(spark, path).toPandas()
+           .sort_values(["vec_id", "rank"]).reset_index(drop=True))
+
+    f32 = {v: np.asarray(vec, dtype=np.float32).astype(np.float64)
+           for v, vec, _ in rows}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    nrm = {v: math.sqrt(fold_dot(f32[v], f32[v])) for v in f32}
+    cell = {}
+    for v, c in zip(out["vec_id"], out["cell"]):
+        cell[v] = c
+    # vectors alone in their cell emit no edges; everything else must
+    expected = []
+    for a in sorted(cell):
+        cands = []
+        for b in sorted(cell):
+            if b == a or cell[b] != cell[a]:
+                continue
+            cos = math.floor(
+                fold_dot(f32[a], f32[b]) / (nrm[a] * nrm[b])
+                * 1e6 + 0.5) / 1e6
+            cands.append((-cos, b))
+        for rank, (_, b) in enumerate(sorted(cands)[:KNN_K], start=1):
+            expected.append((a, rank, b))
+    got = list(zip(out["vec_id"], out["rank"], out["neighbor_id"]))
+    assert got == expected
+
+    # planted twins: rank-1 edge is the twin wherever co-celled
+    r1 = {v: n for v, r, n in got if r == 1}
+    co = [(a, b) for a, b in twins if cell.get(a) == cell.get(b)
+          and a in cell and b in cell]
+    assert len(co) >= 12, co
+    for a, b in co:
+        assert r1[a] == b and r1[b] == a, (a, b, r1.get(a), r1.get(b))

@@ -61,6 +61,7 @@ OPERATOR_QUERIES = [
     "dedup_incremental",
     "train_val_kl",
     "dedup_semantic",
+    "knn_graph",
 ]
 
 
