@@ -1190,7 +1190,8 @@ def principal_axis(cov: "list[list[float]]", iters: int = 512):
 SEM_TAU = 0.35
 
 
-def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_semantic(spark: SparkSession, sf_dir: str,
+                     k: int = KMEANS_K) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus with the TRAINED k-means
     codebook (:func:`_kmeans_codebook`), run exact pairwise cosine ONLY
@@ -1213,11 +1214,16 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide cross join; the codebook broadcast is O(k x dim)).
     The trailing per-id joins are plain shuffled joins — the drop set
     is corpus-proportional on redundant corpora, so no broadcast hint
-    (AQE may still choose one when it is small)."""
+    (AQE may still choose one when it is small).
+
+    ``k`` is the scaling knob: total cost = N*k (assignment) + N^2/k
+    (within-cell pairs), balanced at k ~ sqrt(N) -> O(N^1.5) overall
+    (measured at 10x in BENCH/OPERATORS.md; the catalog entry pins
+    k=KMEANS_K for the oracle twin)."""
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     emb = emb.withColumn("nrm", _norm(F.col("v")))   # once per vector
-    cent = _kmeans_codebook(emb)
+    cent = _kmeans_codebook(emb, k=k)
     sim = (emb.crossJoin(F.broadcast(cent))
            .select("vec_id", "v", "nrm", "cell",
                    _r6(_cosine(F.col("v"), F.col("cv"),
@@ -1293,7 +1299,8 @@ ORDER BY g.vec_id
 KNN_K = 3
 
 
-def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_knn_graph(spark: SparkSession, sf_dir: str,
+                k: int = KMEANS_K) -> DataFrame:
     """Corpus-wide k-NN graph restricted to trained k-means cells — the
     building block for graph-based clustering, label propagation, and
     SemDeDup-family pruning: for EVERY corpus vector (not a bounded
@@ -1307,11 +1314,12 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     term is sum_c |cell_c|^2 with the codebook size k scaled to hold
     cells at a target size; never a corpus cross join.  An
     IVF-multiprobe variant would lift the same-cell edge restriction
-    at NPROBE x the scan cost."""
+    at NPROBE x the scan cost.  ``k`` is the same N*k + N^2/k scaling
+    knob as ``dedup_semantic`` (balanced at k ~ sqrt(N))."""
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     emb = emb.withColumn("nrm", _norm(F.col("v")))   # once per vector
-    cent = _kmeans_codebook(emb)
+    cent = _kmeans_codebook(emb, k=k)
     sim = (emb.crossJoin(F.broadcast(cent))
            .select("vec_id", "v", "nrm", "cell",
                    _r6(_cosine(F.col("v"), F.col("cv"),

@@ -5,9 +5,12 @@ could not — run the flagship/kernel queries once at 10x that scale).
 sf1 documents = 10 deterministic copies of the driver's sf0.1 table with
 disjoint doc_id ranges (copy k shifts ids by k * 10_000_000).  Identical
 text across copies is fine for the KERNEL queries this gate covers (they
-tokenize text per doc; no dedup semantics involved).  The other nine
-tables are symlinked from sf0.1 so the checker's view registration
-succeeds; only `documents`-backed queries are meaningful at this dir.
+tokenize text per doc; no dedup semantics involved).  ``embeddings`` is
+materialized the same way (vec_id shifted per copy) so the
+quadratic-stage embedding operators (dedup_semantic, knn_graph,
+dedup_embedding_cosine) have a 10x, dup-saturated worst-case corpus to
+bench against.  The other eight tables are symlinked from sf0.1 so the
+checker's view registration succeeds.
 
 Writes /root/repo/.testdata_sf1/ (gitignored).  Idempotent.
 """
@@ -25,24 +28,35 @@ DST = os.path.join(os.path.dirname(os.path.dirname(
 COPIES = 10
 SHIFT = 10_000_000
 
-TABLES = ("region nation customer supplier part orders lineitem events "
-          "embeddings").split()
+TABLES = "region nation customer supplier part orders lineitem events".split()
+
+#: (table, id column) pairs materialized as 10 id-shifted copies
+REPLICATED = (("documents", "doc_id"), ("embeddings", "vec_id"))
 
 
-def main() -> None:
-    os.makedirs(DST, exist_ok=True)
-    out = os.path.join(DST, "documents.parquet")
+def _replicate(name: str, id_col: str) -> str:
+    out = os.path.join(DST, f"{name}.parquet")
+    if os.path.islink(out):          # upgrade an old symlinked layout
+        os.unlink(out)
     if not os.path.exists(out):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        t = pq.read_table(f"{SRC}/documents.parquet")
-        id_pos = t.column_names.index("doc_id")
+        t = pq.read_table(f"{SRC}/{name}.parquet")
+        id_pos = t.column_names.index(id_col)
         parts = []
         for k in range(COPIES):
-            ids = pa.compute.add(t["doc_id"], k * SHIFT)
-            parts.append(t.set_column(id_pos, "doc_id", ids))
+            ids = pa.compute.add(t[id_col], k * SHIFT)
+            parts.append(t.set_column(id_pos, id_col, ids))
         pq.write_table(pa.concat_tables(parts), out, compression="zstd")
+    return out
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    for name, id_col in REPLICATED:
+        _replicate(name, id_col)
+    out = os.path.join(DST, "documents.parquet")
     for name in TABLES:
         link = os.path.join(DST, f"{name}.parquet")
         if not os.path.exists(link):
