@@ -251,21 +251,24 @@ def _kmeans_codebook(emb: DataFrame, k: int = KMEANS_K,
     return cent
 
 
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str,
+                   nprobe: int = IVF_NPROBE, k: int = KMEANS_K) -> DataFrame:
     """IVF (inverted-file) ANN with a TRAINED k-means codebook: Lloyd
     iterations build the cells, then every corpus vector is assigned to
     its nearest cell (one broadcast join — the inverted lists) and each
-    query probes its NPROBE nearest cells, running exact cosine only
+    query probes its ``nprobe`` nearest cells, running exact cosine only
     over those lists.  Rank keys are quantized (r6) before ordering so
     both engines agree on ties; cand ties break on cand_id.
 
     At 100 TB: the codebook broadcast is O(cells); assignment is a single
     corpus scan; the probe join shuffles on cell — candidates per query
-    shrink by ~cells/NPROBE vs the full scan."""
+    shrink by ~cells/nprobe vs the full scan.  ``nprobe`` is the
+    recall/latency dial (measured curve: BENCH/ann_recall.json); the
+    catalog entry pins the defaults for the oracle twin."""
     emb = _emb(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
     emb = emb.withColumn("nrm", _norm(F.col("v")))   # once per vector
-    cent = _kmeans_codebook(emb)
+    cent = _kmeans_codebook(emb, k=k)
     # inverted lists: nearest cell per corpus vector
     asgn_sim = (emb.select("vec_id", "v", "nrm")
                 .crossJoin(F.broadcast(cent))
@@ -290,7 +293,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wp = Window.partitionBy("query_id").orderBy(F.col("pcos").desc(),
                                                 F.col("cell").asc())
     probes = (probe_sim.withColumn("prank", F.row_number().over(wp))
-              .filter(F.col("prank") <= IVF_NPROBE)
+              .filter(F.col("prank") <= nprobe)
               .select("query_id", "qv", "qn", "cell"))
     # exact cosine inside probed cells only
     sims = (probes.join(assigned, "cell")
@@ -653,20 +656,22 @@ ORDER BY query_id, rank
 """
 
 
-def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str,
+                     nprobe: int = IVF_NPROBE, k: int = KMEANS_K) -> DataFrame:
     """IVF+PQ — the composed web-scale ANN shape (Jégou et al. 2011;
     the FAISS default): the trained coarse quantizer restricts each
-    query to its ``IVF_NPROBE`` nearest cells, and inside those cells
+    query to its ``nprobe`` nearest cells, and inside those cells
     candidates are scored by PQ asymmetric distance — codes only, the
     original vectors are never touched at query time.
 
     At 100 TB: inverted lists shuffle once on cell; the per-query work
-    is (corpus/cells) x NPROBE candidate rows x PQ_M array lookups.
-    Everything broadcast except the one cell-keyed probe join."""
+    is (corpus/cells) x nprobe candidate rows x PQ_M array lookups.
+    Everything broadcast except the one cell-keyed probe join.
+    Recall/latency curve vs nprobe: BENCH/ann_recall.json."""
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     emb = emb.withColumn("nrm", _norm(F.col("v")))
-    cent = _kmeans_codebook(emb)
+    cent = _kmeans_codebook(emb, k=k)
     sub = _pq_subvectors(emb)
     cb = _pq_codebook(sub)
     # corpus side: coarse cell + PQ codes per vector (inverted lists)
@@ -706,7 +711,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wp = Window.partitionBy("query_id").orderBy(F.col("pcos").desc(),
                                                 F.col("cell").asc())
     probes = (probe_sim.withColumn("prank", F.row_number().over(wp))
-              .filter(F.col("prank") <= IVF_NPROBE)
+              .filter(F.col("prank") <= nprobe)
               .select("query_id", "cell"))
     lutr = (sub.filter(F.col("vec_id") < IVF_N_QUERIES)
             .join(F.broadcast(cb), "m")
@@ -1378,6 +1383,74 @@ ORDER BY vec_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# hard-negative mining
+# ---------------------------------------------------------------------------
+
+HN_N_QUERIES = 8
+HN_K = 5
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the data-side of
+    DPR / SimCLR-style pipelines): for each anchor vector, the top-k
+    most-similar corpus vectors with a DIFFERENT label — the negatives
+    that sit closest to the decision boundary and carry the most
+    gradient signal.
+
+    Scale shape: the bounded anchor set broadcasts against one corpus
+    scan (same plan as ``ann_topk_cosine``); the label-inequality
+    filter rides inside the join, so rejected same-label rows never
+    reach the ranking window.  At 100 TB you compose this with the
+    IVF/PQ index (``query_pq_index``) to pre-select candidates and run
+    the exact label-filtered rerank only over the probed lists — the
+    exact form here is also the recall oracle for that composition.
+    Rank keys r6-quantized; ties break on cand_id."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    emb = emb.withColumn("nrm", _norm(F.col("v")))   # once per vector
+    q = (emb.filter(F.col("vec_id") < HN_N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("label").alias("query_label"),
+                 F.col("v").alias("qv"), F.col("nrm").alias("qn")))
+    cand = emb.select(F.col("vec_id").alias("cand_id"),
+                      F.col("label").alias("cand_label"),
+                      F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+    sims = (F.broadcast(q).crossJoin(cand)
+            .filter(F.col("query_label") != F.col("cand_label"))
+            .select("query_id", "query_label", "cand_id", "cand_label",
+                    _r6(_cosine(F.col("qv"), F.col("cv"),
+                                F.col("qn"), F.col("cn"))).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("cand_id").asc())
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= HN_K)
+            .select("query_id", "query_label", "rank", "cand_id",
+                    "cand_label", "cos_sim")
+            .orderBy("query_id", "rank"))
+
+
+ORACLE_HARD_NEGATIVE_MINING = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), sims AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS cand_id, c.label AS cand_label,
+         {_COS_SQL.format(a='q.v', b='c.v')} AS cos_sim
+  FROM e q JOIN e c
+    ON q.vec_id < {HN_N_QUERIES} AND q.label != c.label
+), ranked AS (
+  SELECT query_id, query_label, cand_id, cand_label, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, query_label, rank, cand_id, cand_label, cos_sim
+FROM ranked WHERE rank <= {HN_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "ann_topk_cosine": q_ann_topk_cosine,
     "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -1390,6 +1463,7 @@ QUERIES = {
     "dedup_embedding_canonicalize": q_dedup_embedding_canonicalize,
     "dedup_semantic": q_dedup_semantic,
     "knn_graph": q_knn_graph,
+    "hard_negative_mining": q_hard_negative_mining,
     "embedding_covariance": q_embedding_covariance,
 }
 
@@ -1405,5 +1479,6 @@ ORACLES = {
     "dedup_embedding_canonicalize": ORACLE_DEDUP_EMBEDDING_CANONICALIZE,
     "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
     "knn_graph": ORACLE_KNN_GRAPH,
+    "hard_negative_mining": ORACLE_HARD_NEGATIVE_MINING,
     "embedding_covariance": ORACLE_EMBEDDING_COVARIANCE,
 }

@@ -960,6 +960,111 @@ ORDER BY w.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+#: fixed keyword query (terms from the synthetic corpus vocabulary)
+BM25_QUERY = ("scan", "hash", "window")
+BM25_TOPN = 20
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009; the Lucene
+    ``+1`` idf form): score every document against a fixed keyword
+    query and return the global top-``BM25_TOPN`` — the retrieval
+    operator of a training-data pipeline (seed-document expansion,
+    targeted corpus slicing, RAG index sanity checks).
+
+    Scale shape: the explode is filtered to the |Q| query terms BEFORE
+    the (doc_id, term) groupBy, so the shuffle carries only matching
+    postings, never the full term index; doc lengths are one narrow
+    aggregate; idf (|Q| rows) and the 1-row n_docs/avgdl aggregates
+    ride in as broadcasts.  The final top-N is orderBy+limit — Spark
+    plans TakeOrderedAndProject (per-partition heaps + driver merge),
+    not a global sort.
+
+    Determinism: avgdl and idf are ``_r6``-quantized before they enter
+    the score product, and each per-term contribution is micro-quantized
+    to BIGINT (``_u6``) before the per-doc SUM, so partial-aggregation
+    order cannot flip low bits (see CLAUDE.md accumulation-order
+    invariant).  Rank ties break on doc_id."""
+    docs = _docs(spark, sf_dir)
+    w = words_col()
+    terms = docs.select("doc_id", F.explode(w).alias("term"))
+    tf = (terms.filter(F.col("term").isin(*BM25_QUERY))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    dl = docs.select("doc_id", F.size(w).alias("dl"))
+    nstats = docs.select(F.size(w).alias("n")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _r6(F.avg("n")).alias("avgdl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(nstats)).select(
+        "term", "avgdl",
+        _r6(F.log((F.col("n_docs") - F.col("df") + F.lit(0.5))
+                  / (F.col("df") + F.lit(0.5)) + F.lit(1.0))).alias("idf"))
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    contrib = (F.col("idf")
+               * ((F.col("tf") * (k1 + F.lit(1.0)))
+                  / (F.col("tf") + k1 * (F.lit(1.0) - b
+                                         + b * (F.col("dl")
+                                                / F.col("avgdl"))))))
+    u6 = F.floor(contrib * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    scored = (tf.join(F.broadcast(idf), "term").join(dl, "doc_id")
+              .select("doc_id", u6.alias("c_u"))
+              .groupBy("doc_id")
+              .agg((F.sum("c_u") / F.lit(1000000.0)).alias("score")))
+    top = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
+           .limit(BM25_TOPN))
+    win = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (top.withColumn("rank", F.row_number().over(win))
+            .select("rank", "doc_id", "score").orderBy("rank"))
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+ORACLE_BM25_SEARCH = f"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
+                        '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM w
+  WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id,
+         length(regexp_split_to_array(trim(lower(text)), '\\s+'))::BIGINT
+           AS dl
+  FROM documents
+), nstats AS (
+  SELECT COUNT(*)::BIGINT AS n_docs,
+         FLOOR(AVG(dl) * 1000000 + 0.5) / 1000000 AS avgdl
+  FROM dl
+), idf AS (
+  SELECT term, avgdl,
+         FLOOR(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * 1000000 + 0.5) / 1000000 AS idf
+  FROM (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term), nstats
+), scored AS (
+  SELECT tf.doc_id,
+         SUM(CAST(FLOOR(idf.idf
+               * ((tf.tf * ({BM25_K1} + 1.0))
+                  / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                          + {BM25_B} * (dl.dl / idf.avgdl))))
+               * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS score
+  FROM tf JOIN idf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  GROUP BY tf.doc_id
+)
+SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {BM25_TOPN}
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -972,9 +1077,11 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "bpe_pair_stats": q_bpe_pair_stats,
     "bpe_encode": q_bpe_encode,
+    "bm25_search": q_bm25_search,
 }
 
 ORACLES = {
+    "bm25_search": ORACLE_BM25_SEARCH,
     "text_stats": ORACLE_TEXT_STATS,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,

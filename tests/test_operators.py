@@ -1521,3 +1521,101 @@ def test_knn_graph_matches_brute_force(spark):
     assert len(co) >= 12, co
     for a, b in co:
         assert r1[a] == b and r1[b] == a, (a, b, r1.get(a), r1.get(b))
+
+
+def test_bm25_search_matches_python_reference(spark):
+    """BM25 top-N vs an independent pandas/python recomputation with the
+    same quantization pipeline (r6 avgdl/idf, u6 per-term contribution
+    before the per-doc sum): the returned doc set and every score match
+    exactly, and the rank column is a valid total order under
+    (score DESC, doc_id ASC)."""
+    import math
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from atr_adaptive_laguerre_spark.operators.text import (
+        BM25_B, BM25_K1, BM25_QUERY, BM25_TOPN, q_bm25_search,
+    )
+
+    out = q_bm25_search(spark, SF).toPandas()
+    assert list(out.columns) == ["rank", "doc_id", "score"]
+    assert out["rank"].tolist() == list(range(1, len(out) + 1))
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    words = {r.doc_id: r.text.strip().lower().split()
+             for r in docs.itertuples()}
+    n_docs = len(words)
+    avgdl = r6(sum(len(w) for w in words.values()) / n_docs)
+    dfreq = {t: sum(1 for w in words.values() if t in w)
+             for t in BM25_QUERY}
+    idf = {t: r6(math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+           for t, df in dfreq.items()}
+    scores = {}
+    for d, w in words.items():
+        acc, matched = 0, False
+        for t in BM25_QUERY:
+            tf = w.count(t)
+            if tf == 0:
+                continue
+            matched = True
+            c = idf[t] * ((tf * (BM25_K1 + 1.0))
+                          / (tf + BM25_K1 * (1.0 - BM25_B
+                                             + BM25_B * (len(w) / avgdl))))
+            acc += math.floor(c * 1e6 + 0.5)
+        if matched:
+            scores[d] = acc / 1e6
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    expect = expect[:BM25_TOPN]
+    assert out["doc_id"].tolist() == [d for d, _ in expect]
+    assert out["score"].tolist() == [s for _, s in expect]
+
+
+def test_hard_negative_mining_matches_brute_force(spark):
+    """Hard-negative exactness: recompute each anchor's top-K
+    different-label neighbors with the sequential-fold cosine and
+    compare (query_id, rank, cand_id) exactly; every returned negative
+    must carry a label different from its anchor's."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        HN_K, HN_N_QUERIES, q_hard_negative_mining,
+    )
+
+    out = q_hard_negative_mining(spark, SF).toPandas()
+    assert (out["query_label"] != out["cand_label"]).all()
+    assert set(out["query_id"]) == set(range(HN_N_QUERIES))
+
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    vecs = {r.vec_id: np.asarray(r.embedding,
+                                 dtype=np.float32).astype(np.float64)
+            for r in t.itertuples()}
+    labels = dict(zip(t["vec_id"], t["label"]))
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    nrm = {v: math.sqrt(fold_dot(vecs[v], vecs[v])) for v in vecs}
+    for qid in range(HN_N_QUERIES):
+        sims = []
+        for cid, cv in vecs.items():
+            if labels[cid] == labels[qid]:
+                continue
+            cos = math.floor(fold_dot(vecs[qid], cv)
+                             / (nrm[qid] * nrm[cid]) * 1e6 + 0.5) / 1e6
+            sims.append((-cos, cid))
+        sims.sort()
+        expect = [cid for _, cid in sims[:HN_K]]
+        got = (out[out["query_id"] == qid]
+               .sort_values("rank")["cand_id"].tolist())
+        assert got == expect, (qid, got, expect)
