@@ -656,18 +656,11 @@ ORDER BY query_id, rank
 """
 
 
-def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str,
-                     nprobe: int = IVF_NPROBE, k: int = KMEANS_K) -> DataFrame:
-    """IVF+PQ — the composed web-scale ANN shape (Jégou et al. 2011;
-    the FAISS default): the trained coarse quantizer restricts each
-    query to its ``nprobe`` nearest cells, and inside those cells
-    candidates are scored by PQ asymmetric distance — codes only, the
-    original vectors are never touched at query time.
-
-    At 100 TB: inverted lists shuffle once on cell; the per-query work
-    is (corpus/cells) x nprobe candidate rows x PQ_M array lookups.
-    Everything broadcast except the one cell-keyed probe join.
-    Recall/latency curve vs nprobe: BENCH/ann_recall.json."""
+def _ivfpq_scored(spark: SparkSession, sf_dir: str,
+                  nprobe: int, k: int) -> "tuple[DataFrame, DataFrame]":
+    """Shared IVF+PQ candidate-scoring pipeline: returns the
+    ADC-scored candidate frame (query_id, cand_id, cell, pq_dist) and
+    the normalized embedding frame (for exact rerank)."""
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     emb = emb.withColumn("nrm", _norm(F.col("v")))
@@ -736,6 +729,24 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str,
                                          l, (c + 1).cast("int"))),
                           F.lit(0.0), lambda acc, v: acc + v))
                       .alias("pq_dist")))
+    return scored, emb
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str,
+                     nprobe: int = IVF_NPROBE, k: int = KMEANS_K) -> DataFrame:
+    """IVF+PQ — the composed web-scale ANN shape (Jégou et al. 2011;
+    the FAISS default): the trained coarse quantizer restricts each
+    query to its ``nprobe`` nearest cells, and inside those cells
+    candidates are scored by PQ asymmetric distance — codes only, the
+    original vectors are never touched at query time.
+
+    At 100 TB: inverted lists shuffle once on cell; the per-query work
+    is (corpus/cells) x nprobe candidate rows x PQ_M array lookups.
+    Everything broadcast except the one cell-keyed probe join.
+    Recall/latency curve vs nprobe: BENCH/ann_recall.json — at this
+    PQ compression the codebook distortion, not cell misses, caps
+    recall, which is what :func:`q_ann_ivfpq_rerank` fixes."""
+    scored, _ = _ivfpq_scored(spark, sf_dir, nprobe, k)
     wr = Window.partitionBy("query_id").orderBy(F.col("pq_dist").asc(),
                                                 F.col("cand_id").asc())
     return (scored.withColumn("rank", F.row_number().over(wr))
@@ -744,7 +755,54 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str,
             .orderBy("query_id", "rank"))
 
 
-ORACLE_ANN_IVFPQ_TOPK = f"""
+RERANK_R = 25
+
+
+def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str,
+                       nprobe: int = IVF_NPROBE, k: int = KMEANS_K,
+                       r_cand: int = RERANK_R) -> DataFrame:
+    """IVF+PQ with exact rerank — the FAISS ``IndexRefine`` production
+    shape: ADC scoring shortlists ``r_cand`` candidates per query from
+    codes alone, then ONLY those rows fetch their original vectors for
+    an exact-cosine rerank to the final top-``TOP_K``.
+
+    Why it exists (measured, BENCH/ann_recall.json): at this PQ
+    compression the 8-code subspace codebooks cap plain IVF+PQ recall
+    near 0.3 REGARDLESS of nprobe — distorted distances displace true
+    neighbors, so probing more cells cannot help.  The rerank recovers
+    the recall while still never running exact math on more than
+    queries x r_cand rows.
+
+    At 100 TB: the shortlist is bounded (queries x r_cand), so the
+    vector fetch is a broadcast join against the corpus scan — the
+    corpus's full vectors stream past once; only shortlisted rows
+    compute the exact cosine."""
+    scored, emb = _ivfpq_scored(spark, sf_dir, nprobe, k)
+    wr = Window.partitionBy("query_id").orderBy(F.col("pq_dist").asc(),
+                                                F.col("cand_id").asc())
+    short = (scored.withColumn("prank", F.row_number().over(wr))
+             .filter(F.col("prank") <= r_cand)
+             .select("query_id", "cand_id", "pq_dist"))
+    qv = (emb.filter(F.col("vec_id") < IVF_N_QUERIES)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("v").alias("qv"), F.col("nrm").alias("qn")))
+    exact = (emb.join(F.broadcast(short), emb["vec_id"] == short["cand_id"])
+             .select("query_id", "cand_id", "pq_dist",
+                     F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+             .join(F.broadcast(qv), "query_id")
+             .select("query_id", "cand_id", "pq_dist",
+                     _r6(_cosine(F.col("qv"), F.col("cv"),
+                                 F.col("qn"), F.col("cn")))
+                     .alias("cos_sim")))
+    wf = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                                F.col("cand_id").asc())
+    return (exact.withColumn("rank", F.row_number().over(wf))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "rank", "cand_id", "cos_sim", "pq_dist")
+            .orderBy("query_id", "rank"))
+
+
+_IVFPQ_CTES = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
@@ -805,9 +863,31 @@ icell AS (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY pq_dist ASC, cand_id ASC) AS rank
   FROM scored
-)
+)"""
+
+ORACLE_ANN_IVFPQ_TOPK = _IVFPQ_CTES + f"""
 SELECT query_id, rank, cand_id, cell, pq_dist
 FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+ORACLE_ANN_IVFPQ_RERANK = _IVFPQ_CTES + f""",
+short AS (
+  SELECT query_id, cand_id, pq_dist FROM ranked WHERE rank <= {RERANK_R}
+), exact AS (
+  SELECT s.query_id, s.cand_id, s.pq_dist,
+         {_COS_SQL.format(a='q.v', b='c.v')} AS cos_sim
+  FROM short s
+  JOIN e q ON q.vec_id = s.query_id
+  JOIN e c ON c.vec_id = s.cand_id
+), rr AS (
+  SELECT query_id, cand_id, cos_sim, pq_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM exact
+)
+SELECT query_id, rank, cand_id, cos_sim, pq_dist
+FROM rr WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """
 
@@ -1457,6 +1537,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "ann_ivfpq_rerank": q_ann_ivfpq_rerank,
     "embedding_centroids": q_embedding_centroids,
     "embedding_kmeans": q_embedding_kmeans,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1473,6 +1554,7 @@ ORACLES = {
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "ann_pq_topk": ORACLE_ANN_PQ_TOPK,
     "ann_ivfpq_topk": ORACLE_ANN_IVFPQ_TOPK,
+    "ann_ivfpq_rerank": ORACLE_ANN_IVFPQ_RERANK,
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
     "embedding_kmeans": ORACLE_EMBEDDING_KMEANS,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,

@@ -457,6 +457,28 @@ def test_ivf_topk_vs_exact(spark):
     assert hits / tot > 0.35, hits / tot
 
 
+def test_ivfpq_rerank_exhaustive_equals_brute_force(spark):
+    """With every cell probed and a shortlist at least as large as the
+    corpus, the rerank's candidate set is ALL non-self vectors scored
+    by exact cosine — so its top-5 must be IDENTICAL (ids, ranks, and
+    r6 sims) to the brute-force `ann_topk_cosine` answer.  Pins that
+    the ADC shortlist stage only ever FILTERS candidates and that the
+    rerank's tie-breaking matches the exact path."""
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        IVF_N_QUERIES, KMEANS_K, q_ann_ivfpq_rerank, q_ann_topk_cosine,
+    )
+
+    n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    rr = (q_ann_ivfpq_rerank(spark, SF, nprobe=KMEANS_K, r_cand=n_vecs)
+          .toPandas())
+    ex = q_ann_topk_cosine(spark, SF).toPandas()
+    ex = ex[ex["query_id"] < IVF_N_QUERIES]
+    merged = ex.merge(rr, on=["query_id", "rank"], suffixes=("_ex", "_rr"))
+    assert len(merged) == len(ex) == IVF_N_QUERIES * 5
+    assert (merged["cand_id_ex"] == merged["cand_id_rr"]).all()
+    assert (merged["cos_sim_ex"] == merged["cos_sim_rr"]).all()
+
+
 def test_kmeans_codebook_trains_and_quantizes(spark):
     """The IVF codebook is genuinely TRAINED (Lloyd updates move the
     cells away from their seed vectors) and every centroid component

@@ -3,9 +3,10 @@
 Ground truth is the exact brute-force top-5 cosine neighbors
 (`ann_topk_cosine`, restricted to the IVF query set).  For each
 ``nprobe`` in NPROBES this times `ann_ivf_topk` (exact cosine inside
-probed cells — recall loss comes only from cell misses) and
+probed cells — recall loss comes only from cell misses),
 `ann_ivfpq_topk` (PQ asymmetric-distance scoring — adds quantization
-distortion on top), and reports
+distortion on top), and `ann_ivfpq_rerank` (ADC shortlist + exact
+rerank — the FAISS IndexRefine shape), and reports
 
     recall@5 = |approx top-5 ∩ exact top-5| / 5, averaged over queries
 
@@ -52,7 +53,8 @@ def main() -> None:
     from atr_adaptive_laguerre_spark.engine.session import build_session
     from atr_adaptive_laguerre_spark.operators.similarity import (
         IVF_N_QUERIES, IVF_NPROBE, KMEANS_K, TOP_K,
-        q_ann_ivf_topk, q_ann_ivfpq_topk, q_ann_topk_cosine,
+        q_ann_ivf_topk, q_ann_ivfpq_rerank, q_ann_ivfpq_topk,
+        q_ann_topk_cosine,
     )
 
     spark = build_session(app="ann-recall", master="local[32]",
@@ -66,7 +68,8 @@ def main() -> None:
     out: dict = {"sf_dir": SF_DIR, "n_vecs": n_vecs, "k_cells": KMEANS_K,
                  "top_k": TOP_K, "n_queries": IVF_N_QUERIES,
                  "catalog_nprobe": IVF_NPROBE, "runs": RUNS, "curve": []}
-    for name, fn in (("ivf", q_ann_ivf_topk), ("ivfpq", q_ann_ivfpq_topk)):
+    for name, fn in (("ivf", q_ann_ivf_topk), ("ivfpq", q_ann_ivfpq_topk),
+                     ("ivfpq_rerank", q_ann_ivfpq_rerank)):
         for nprobe in NPROBES:
             rec = _recall(_topk_sets(fn(spark, SF_DIR, nprobe=nprobe)), exact)
             times = []
@@ -85,6 +88,21 @@ def main() -> None:
             if name == "ivf" and nprobe >= KMEANS_K and rec < 1.0:
                 raise SystemExit("IVF at nprobe=k must be exact "
                                  f"(got recall {rec})")
+    # shortlist-size sweep at nprobe=k (all cells probed): isolates the
+    # PQ-shortlist quality term; at r_cand = N the rerank is exact by
+    # construction, so recall must climb monotonically toward 1.0
+    for r_cand in (25, 50, 100, 400):
+        rec = _recall(_topk_sets(q_ann_ivfpq_rerank(
+            spark, SF_DIR, nprobe=KMEANS_K, r_cand=r_cand)), exact)
+        t0 = time.perf_counter()
+        q_ann_ivfpq_rerank(spark, SF_DIR, nprobe=KMEANS_K,
+                           r_cand=r_cand).write.format("noop") \
+            .mode("overwrite").save()
+        row = {"variant": "ivfpq_rerank", "nprobe": KMEANS_K,
+               "r_cand": r_cand, "recall_at_5": round(rec, 4),
+               "wall_s": round(time.perf_counter() - t0, 3)}
+        out["curve"].append(row)
+        print(f"ivfpq_rerank r={r_cand}: recall@5={rec:.3f}", flush=True)
     path = os.path.join(REPO, "BENCH", "ann_recall.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
