@@ -62,6 +62,9 @@ OPERATOR_QUERIES = [
     "train_val_kl",
     "dedup_semantic",
     "knn_graph",
+    "bm25_search",
+    "hard_negative_mining",
+    "ann_ivfpq_rerank",
 ]
 
 
