@@ -1017,6 +1017,151 @@ ORDER BY doc_id
 """
 
 
+#: hashed n-gram feature buckets for DSIR (the paper uses 10k; scaled to
+#: the synthetic corpus so every bucket gets mass at sf0.001)
+DSIR_BUCKETS = 256
+#: the "target domain" sample the importance weights steer toward
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
+DSIR_TOP_N = 60
+
+
+def dsir_scores(docs: DataFrame, is_target,
+                n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Per-document DSIR importance weights (Xie et al., NeurIPS 2023:
+    Data Selection via Importance Resampling): hashed unigram+bigram
+    bag-of-ngrams models of the TARGET sample and the RAW corpus, and
+    per-doc log importance weight  log w(x) = Σ_b c_b·(ln p̂_b − ln q̂_b)
+    with add-one smoothing over the ``n_buckets`` feature buckets.
+
+    ``is_target`` is a boolean Column over the doc row (e.g. a source
+    membership test) marking the target-domain sample.
+
+    Scale shape: ONE explode feeds a (doc_id, bucket) groupBy (the only
+    corpus-mass shuffle); both LMs come from a single conditional-sum
+    aggregate of that table (≤ ``n_buckets`` rows — broadcast back);
+    the per-doc sum is a second doc-keyed groupBy.  At 100 TB persist
+    the (doc_id, bucket) counts between the two passes — they are
+    ≤ n_buckets rows per doc, far smaller than the token mass.
+
+    Determinism: each bucket's ln p̂ and ln q̂ are quantized ONCE to
+    integer micro-nats, so per-doc sums are exact integer arithmetic
+    and partial-aggregation order cannot flip low bits (CLAUDE.md
+    accumulation-order invariant); ln() runs on ratios of exact
+    integers, identical in both engines."""
+    w = words_col()
+    from atr_adaptive_laguerre_spark.operators.text import _ngram_col
+
+    grams = F.concat(w, _ngram_col(w, 2))
+    bucket = (F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
+              .cast("bigint") % n_buckets)
+    cdoc = (docs.select("doc_id", is_target.alias("tgt"),
+                        F.explode(grams).alias("gram"))
+            .select("doc_id", "tgt", bucket.alias("bucket"))
+            .groupBy("doc_id", "tgt", "bucket")
+            .agg(F.count(F.lit(1)).alias("c")))
+    counts = (cdoc.groupBy("bucket")
+              .agg(F.sum("c").alias("cr"),
+                   F.sum(F.when(F.col("tgt"), F.col("c"))
+                         .otherwise(F.lit(0))).alias("ct")))
+    totals = counts.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    b = F.lit(float(n_buckets))
+    lmicro = lambda c, t: F.floor(  # noqa: E731
+        F.log((c + F.lit(1.0)) / (t + b)) * F.lit(1000000.0)
+        + F.lit(0.5)).cast("bigint")
+    ratio = (counts.crossJoin(F.broadcast(totals))
+             .select("bucket",
+                     (lmicro(F.col("ct").cast("double"),
+                             F.col("tt").cast("double"))
+                      - lmicro(F.col("cr").cast("double"),
+                               F.col("tr").cast("double")))
+                     .alias("lpq_micro")))
+    return (cdoc.join(F.broadcast(ratio), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("c") * F.col("lpq_micro")).alias("s_micro"),
+                 F.sum("c").alias("n_grams")))
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: rank the corpus by hashed-ngram importance
+    weight toward the ``DSIR_TARGET_SOURCES`` domain sample and return
+    the global top-``DSIR_TOP_N`` — the domain-targeted pre-training
+    data-selection operator (the paper selects The Pile → Wikipedia+
+    books-like subsets this way; deterministic variant: plain top-k,
+    ties on doc_id, no Gumbel noise so both engines agree).
+
+    The final top-N is orderBy+limit on the exact integer score —
+    Spark plans TakeOrderedAndProject (per-partition heaps + driver
+    merge), never a global sort; the 60-row result then joins doc
+    metadata back as a broadcast."""
+    docs = read_table(spark, sf_dir, "documents")
+    scores = dsir_scores(
+        docs, F.col("source").isin(*DSIR_TARGET_SOURCES))
+    top = (scores.orderBy(F.desc("s_micro"), F.asc("doc_id"))
+           .limit(DSIR_TOP_N))
+    win = Window.orderBy(F.desc("s_micro"), F.asc("doc_id"))
+    ranked = top.withColumn("rank", F.row_number().over(win))
+    meta = docs.select("doc_id", "source")
+    return (meta.join(F.broadcast(ranked), "doc_id")
+            .select("rank", "doc_id", "source", "n_grams",
+                    _r6(F.col("s_micro").cast("double") / 1000000.0)
+                    .alias("logw"),
+                    _r6(F.col("s_micro").cast("double")
+                        / F.col("n_grams") / 1000000.0).alias("avg_logw"))
+            .orderBy("rank"))
+
+
+_DSIR_TGT_SQL = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+
+ORACLE_DSIR_SELECT = f"""
+WITH w AS (
+  SELECT doc_id, source IN ({_DSIR_TGT_SQL}) AS tgt,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id, tgt, unnest(words) AS gram FROM w
+  UNION ALL
+  SELECT doc_id, tgt,
+         unnest([array_to_string(words[i:i+1], ' ')
+                 for i in range(1, length(words))]) AS gram
+  FROM w
+), cdoc AS (
+  SELECT doc_id, tgt,
+         ('0x' || substr(md5(gram), 1, 8))::BIGINT % {DSIR_BUCKETS}
+           AS bucket,
+         COUNT(*)::BIGINT AS c
+  FROM g GROUP BY ALL
+), counts AS (
+  SELECT bucket, SUM(c)::BIGINT AS cr,
+         SUM(CASE WHEN tgt THEN c ELSE 0 END)::BIGINT AS ct
+  FROM cdoc GROUP BY bucket
+), totals AS (
+  SELECT SUM(cr)::BIGINT AS tr, SUM(ct)::BIGINT AS tt FROM counts
+), ratio AS (
+  SELECT bucket,
+         FLOOR(ln((ct + 1.0) / (tt + {DSIR_BUCKETS}.0))
+               * 1000000.0 + 0.5)::BIGINT
+         - FLOOR(ln((cr + 1.0) / (tr + {DSIR_BUCKETS}.0))
+                 * 1000000.0 + 0.5)::BIGINT AS lpq_micro
+  FROM counts, totals
+), scored AS (
+  SELECT cdoc.doc_id,
+         SUM(cdoc.c * ratio.lpq_micro)::BIGINT AS s_micro,
+         SUM(cdoc.c)::BIGINT AS n_grams
+  FROM cdoc JOIN ratio USING (bucket)
+  GROUP BY cdoc.doc_id
+)
+SELECT ROW_NUMBER() OVER (ORDER BY s.s_micro DESC, s.doc_id ASC) AS rank,
+       s.doc_id, d.source, s.n_grams,
+       FLOOR((s.s_micro::DOUBLE / 1000000.0) * 1000000 + 0.5)
+         / 1000000 AS logw,
+       FLOOR((s.s_micro::DOUBLE / s.n_grams / 1000000.0)
+             * 1000000 + 0.5) / 1000000 AS avg_logw
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY s.s_micro DESC, s.doc_id ASC
+LIMIT {DSIR_TOP_N}
+"""
+
+
 QUERIES = {
     "corpus_curation": q_corpus_curation,
     "corpus_domain_mix": q_corpus_domain_mix,
@@ -1030,6 +1175,7 @@ QUERIES = {
     "corpus_sample_stratified": q_corpus_sample_stratified,
     "contamination_check": q_contamination_check,
     "train_val_split": q_train_val_split,
+    "dsir_select": q_dsir_select,
 }
 
 ORACLES = {
@@ -1045,4 +1191,5 @@ ORACLES = {
     "corpus_sample_stratified": ORACLE_CORPUS_SAMPLE_STRATIFIED,
     "contamination_check": ORACLE_CONTAMINATION_CHECK,
     "train_val_split": ORACLE_TRAIN_VAL_SPLIT,
+    "dsir_select": ORACLE_DSIR_SELECT,
 }

@@ -1641,3 +1641,81 @@ def test_hard_negative_mining_matches_brute_force(spark):
         got = (out[out["query_id"] == qid]
                .sort_values("rank")["cand_id"].tolist())
         assert got == expect, (qid, got, expect)
+
+
+def test_dsir_planted_target_domain(spark):
+    """DSIR semantics on a planted two-domain corpus: with a target
+    sample drawn from domain A, every HELD-OUT domain-A doc must
+    out-score every domain-B doc (the importance weight generalizes to
+    lookalike docs, not just the sample itself — the paper's point)."""
+    from pyspark.sql import functions as F
+
+    from atr_adaptive_laguerre_spark.operators.curation import dsir_scores
+
+    rows = []
+    for i in range(10):
+        rows.append((i, " ".join(f"alpha{j % 5}" for j in range(i, i + 30))))
+    for i in range(10, 20):
+        rows.append((i, " ".join(f"zulu{j % 5}" for j in range(i, i + 30))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sc = dsir_scores(docs, F.col("doc_id") < 3).toPandas()
+    sc = sc.set_index("doc_id")["s_micro"]
+    held_a = [sc[i] for i in range(3, 10)]
+    dom_b = [sc[i] for i in range(10, 20)]
+    assert min(held_a) > max(dom_b), (held_a, dom_b)
+
+
+def test_dsir_select_matches_python_reference(spark):
+    """dsir_select top-N vs an independent python recomputation of the
+    hashed-ngram importance pipeline (md5 buckets, add-one smoothing,
+    micro-nat quantization before the exact-integer per-doc sum)."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        DSIR_BUCKETS, DSIR_TARGET_SOURCES, DSIR_TOP_N, q_dsir_select,
+    )
+
+    out = q_dsir_select(spark, SF).toPandas()
+    assert list(out.columns) == ["rank", "doc_id", "source", "n_grams",
+                                 "logw", "avg_logw"]
+    assert out["rank"].tolist() == list(range(1, len(out) + 1))
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source", "text"]).to_pandas()
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+
+    cdoc: dict = {}
+    tgt_docs = set()
+    for r in docs.itertuples():
+        w = r.text.strip().lower().split()
+        grams = w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+        if r.source in DSIR_TARGET_SOURCES:
+            tgt_docs.add(r.doc_id)
+        for g in grams:
+            key = (r.doc_id, bucket(g))
+            cdoc[key] = cdoc.get(key, 0) + 1
+    cr: dict = {}
+    ct: dict = {}
+    for (d, b), c in cdoc.items():
+        cr[b] = cr.get(b, 0) + c
+        if d in tgt_docs:
+            ct[b] = ct.get(b, 0) + c
+    tr, tt = sum(cr.values()), sum(ct.values())
+
+    def lmicro(c, t):
+        return math.floor(math.log((c + 1.0) / (t + DSIR_BUCKETS))
+                          * 1e6 + 0.5)
+
+    lpq = {b: lmicro(ct.get(b, 0), tt) - lmicro(cr[b], tr) for b in cr}
+    s: dict = {}
+    for (d, b), c in cdoc.items():
+        s[d] = s.get(d, 0) + c * lpq[b]
+    expect = sorted(s.items(), key=lambda kv: (-kv[1], kv[0]))[:DSIR_TOP_N]
+    assert out["doc_id"].tolist() == [d for d, _ in expect]
+    assert out["logw"].tolist() == [
+        math.floor((sm / 1e6) * 1e6 + 0.5) / 1e6 for _, sm in expect]

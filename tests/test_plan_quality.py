@@ -388,3 +388,16 @@ def test_dedup_semantic_pairs_join_on_cell(spark):
     for line in plan.splitlines():
         if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
             assert ("cell" in line or "vec_id" in line), line
+
+
+def test_dsir_topn_is_take_ordered_no_wide_joins(spark):
+    """DSIR: the global top-N must plan as TakeOrderedAndProject (never
+    a global sort); the ratio table and the 60-row ranked frame ride as
+    broadcasts; nothing plans a cartesian product or Python eval."""
+    from atr_adaptive_laguerre_spark.operators.curation import q_dsir_select
+
+    plan = _plan(q_dsir_select(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
