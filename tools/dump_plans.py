@@ -76,6 +76,15 @@ PLAN_NOTES = {
                  "cell-keyed self-join, one vec_id-keyed window for "
                  "the top-K rank — corpus-wide output, no query-set "
                  "crossJoin",
+    "ann_ivfpq_rerank": "ADC shortlist bounded at queries x r_cand, so "
+                        "the exact-rerank vector fetch is a broadcast "
+                        "join against one corpus scan — full vectors "
+                        "touched only for shortlisted rows",
+    "dsir_select": "one explode feeds the only corpus-mass shuffle "
+                   "(doc_id x bucket groupBy); both n-gram LMs from a "
+                   "single conditional-sum aggregate broadcast back; "
+                   "global top-N is TakeOrderedAndProject, never a "
+                   "global sort",
 }
 
 
