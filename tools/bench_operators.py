@@ -65,6 +65,7 @@ OPERATOR_QUERIES = [
     "bm25_search",
     "hard_negative_mining",
     "ann_ivfpq_rerank",
+    "dsir_select",
 ]
 
 
