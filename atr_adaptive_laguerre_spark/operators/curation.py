@@ -1048,37 +1048,96 @@ def dsir_scores(docs: DataFrame, is_target,
     and partial-aggregation order cannot flip low bits (CLAUDE.md
     accumulation-order invariant); ln() runs on ratios of exact
     integers, identical in both engines."""
+    cdoc = _dsir_buckets(docs, is_target, n_buckets)
+    return _dsir_doc_scores(cdoc, _dsir_ratio(cdoc, n_buckets))
+
+
+def _dsir_buckets(docs: DataFrame, is_target, n_buckets: int) -> DataFrame:
+    """(doc_id, tgt, bucket, c): hashed unigram+bigram counts per doc."""
     w = words_col()
     from atr_adaptive_laguerre_spark.operators.text import _ngram_col
 
     grams = F.concat(w, _ngram_col(w, 2))
     bucket = (F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
               .cast("bigint") % n_buckets)
-    cdoc = (docs.select("doc_id", is_target.alias("tgt"),
+    return (docs.select("doc_id", is_target.alias("tgt"),
                         F.explode(grams).alias("gram"))
             .select("doc_id", "tgt", bucket.alias("bucket"))
             .groupBy("doc_id", "tgt", "bucket")
             .agg(F.count(F.lit(1)).alias("c")))
+
+
+def _dsir_ratio(cdoc: DataFrame, n_buckets: int,
+                dense: bool = False) -> DataFrame:
+    """(bucket, lpq_micro): per-bucket micro-nat log importance ratio.
+    ``dense=True`` emits ALL ``n_buckets`` rows (zero-count buckets get
+    the smoothed default) — required when the table is persisted as a
+    model and later batches may hash into buckets the training corpus
+    never touched."""
     counts = (cdoc.groupBy("bucket")
               .agg(F.sum("c").alias("cr"),
                    F.sum(F.when(F.col("tgt"), F.col("c"))
                          .otherwise(F.lit(0))).alias("ct")))
+    if dense:
+        allb = (cdoc.sparkSession.range(n_buckets)
+                .select(F.col("id").alias("bucket")))
+        counts = (allb.join(counts, "bucket", "left")
+                  .select("bucket",
+                          F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
+                          F.coalesce(F.col("ct"), F.lit(0)).alias("ct")))
     totals = counts.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
     b = F.lit(float(n_buckets))
     lmicro = lambda c, t: F.floor(  # noqa: E731
         F.log((c + F.lit(1.0)) / (t + b)) * F.lit(1000000.0)
         + F.lit(0.5)).cast("bigint")
-    ratio = (counts.crossJoin(F.broadcast(totals))
-             .select("bucket",
-                     (lmicro(F.col("ct").cast("double"),
-                             F.col("tt").cast("double"))
-                      - lmicro(F.col("cr").cast("double"),
-                               F.col("tr").cast("double")))
-                     .alias("lpq_micro")))
+    return (counts.crossJoin(F.broadcast(totals))
+            .select("bucket",
+                    (lmicro(F.col("ct").cast("double"),
+                            F.col("tt").cast("double"))
+                     - lmicro(F.col("cr").cast("double"),
+                              F.col("tr").cast("double")))
+                    .alias("lpq_micro")))
+
+
+def _dsir_doc_scores(cdoc: DataFrame, ratio: DataFrame) -> DataFrame:
+    """(doc_id, s_micro, n_grams): exact-integer per-doc weight sums."""
     return (cdoc.join(F.broadcast(ratio), "bucket")
             .groupBy("doc_id")
             .agg(F.sum(F.col("c") * F.col("lpq_micro")).alias("s_micro"),
                  F.sum("c").alias("n_grams")))
+
+
+def build_dsir_model(docs: DataFrame, is_target,
+                     model_dir: str,
+                     n_buckets: int = DSIR_BUCKETS) -> None:
+    """Persist the DSIR importance model — the "train once, score every
+    shard" production shape (the inline :func:`q_dsir_select` re-derives
+    the two n-gram LMs per call; a real selection job fits them once on
+    the target sample + a corpus sample, then streams the 100 TB corpus
+    through the stored per-bucket ratio table).
+
+    The model is the DENSE (bucket, lpq_micro) table — every one of the
+    ``n_buckets`` rows present, zero-count buckets carrying the smoothed
+    default — so scoring is always a complete broadcast join no matter
+    what later batches hash into."""
+    cdoc = _dsir_buckets(docs, is_target, n_buckets)
+    (_dsir_ratio(cdoc, n_buckets, dense=True)
+     .write.mode("overwrite").parquet(f"{model_dir}/ratio"))
+
+
+def score_dsir_batch(spark: SparkSession, docs: DataFrame,
+                     model_dir: str,
+                     n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Score a document batch against a :func:`build_dsir_model` store:
+    one explode + one (doc_id, bucket) groupBy over the BATCH only,
+    then a broadcast join against the ≤ ``n_buckets``-row ratio table —
+    per-batch cost never depends on the training corpus size.  On the
+    training corpus itself this is bit-identical to the inline
+    :func:`dsir_scores` (tested): training docs only occupy buckets the
+    model saw, where dense and sparse ratios agree exactly."""
+    ratio = spark.read.parquet(f"{model_dir}/ratio")
+    cdoc = _dsir_buckets(docs, F.lit(False), n_buckets)
+    return _dsir_doc_scores(cdoc, ratio)
 
 
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1719,3 +1719,38 @@ def test_dsir_select_matches_python_reference(spark):
     assert out["doc_id"].tolist() == [d for d, _ in expect]
     assert out["logw"].tolist() == [
         math.floor((sm / 1e6) * 1e6 + 0.5) / 1e6 for _, sm in expect]
+
+
+def test_dsir_persisted_model_matches_inline(spark, tmp_path):
+    """score_dsir_batch against a persisted build_dsir_model store is
+    bit-identical to the inline dsir_scores on the training corpus, and
+    a batch whose grams hash into buckets the training corpus never
+    touched still scores (the dense model carries the smoothed default
+    for zero-count buckets)."""
+    from pyspark.sql import functions as F
+
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        DSIR_TARGET_SOURCES, build_dsir_model, dsir_scores,
+        score_dsir_batch,
+    )
+    from atr_adaptive_laguerre_spark.operators.io import read_table
+
+    docs = read_table(spark, SF, "documents")
+    is_tgt = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    inline = (dsir_scores(docs, is_tgt).toPandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    model_dir = str(tmp_path / "dsir_model")
+    build_dsir_model(docs, is_tgt, model_dir)
+    served = (score_dsir_batch(spark, docs, model_dir).toPandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    assert inline["doc_id"].tolist() == served["doc_id"].tolist()
+    assert inline["s_micro"].tolist() == served["s_micro"].tolist()
+    assert inline["n_grams"].tolist() == served["n_grams"].tolist()
+
+    novel = spark.createDataFrame(
+        [(10_000_000, "zzqx9a zzqx9b zzqx9c zzqx9d zzqx9e")],
+        "doc_id long, text string")
+    out = score_dsir_batch(spark, novel, model_dir).toPandas()
+    assert len(out) == 1
+    assert out["n_grams"].iloc[0] == 9  # 5 unigrams + 4 bigrams
+    assert out["s_micro"].iloc[0] != 0  # smoothed default applied
