@@ -258,6 +258,8 @@ def prepare_corpus(spark: SparkSession, docs: DataFrame, output_dir: str,
                    min_quality: float = MIN_QUALITY,
                    near_dup: bool = True,
                    chunk_dedup: bool = False,
+                   dsir_frac: float | None = None,
+                   dsir_target_sources: tuple[str, ...] | None = None,
                    seq_len: int = SEQ_LEN) -> dict:
     """Run the composed pipeline over a documents frame and write the
     curated, scrubbed, shuffled, packing-annotated corpus to
@@ -270,7 +272,15 @@ def prepare_corpus(spark: SparkSession, docs: DataFrame, output_dir: str,
     physically removed from surviving docs (keep-first over the KEPT
     set — cleaning against already-dropped near-dups would delete text
     whose first instance no longer exists), token counts re-derived
-    from the cleaned text, and docs cleaned down to nothing dropped."""
+    from the cleaned text, and docs cleaned down to nothing dropped.
+
+    ``dsir_frac=0.x`` inserts DSIR domain-targeted selection after
+    gating (and after chunk cleaning, so weights score the FINAL text):
+    keep the top fraction of surviving docs by per-gram importance
+    weight toward ``dsir_target_sources``.  The cut is a rank-defined
+    threshold over the weight quantized to a 1e-4-nat grid — the same
+    bounded-histogram idiom as :func:`curation_report_quantile`, so no
+    corpus-sized sort; ties at the threshold value are all kept."""
     run_id = run_id or uuid.uuid4().hex[:12]
     t0 = time.time()
     stages: list[tuple[str, int, int, int, float]] = []
@@ -317,6 +327,37 @@ def prepare_corpus(spark: SparkSession, docs: DataFrame, output_dir: str,
         kept = (kept.drop("text", "n_tokens")
                 .join(cleaned, "doc_id"))
         stages.append(("chunk_clean", n_gated, int(kept.count()),
+                       0, time.time() - ts))
+        ts = time.time()
+    if dsir_frac is not None:
+        from atr_adaptive_laguerre_spark.operators.curation import (
+            DSIR_TARGET_SOURCES, dsir_scores,
+        )
+
+        tgt = dsir_target_sources or DSIR_TARGET_SOURCES
+        n_pre = kept.count()
+        sc = dsir_scores(kept, F.col("source").isin(*tgt))
+        # per-gram weight on a 1e-4-nat grid: log-ratios live within a
+        # few nats, so the threshold histogram's value domain is bounded
+        # regardless of corpus size (curation_report_quantile's idiom)
+        aq = (F.floor(F.col("s_micro").cast("double") / F.col("n_grams")
+                      / 100.0 + 0.5).cast("bigint"))
+        scored = sc.select("doc_id", aq.alias("aq4"))
+        hist = scored.groupBy("aq4").agg(F.count(F.lit(1)).alias("cnt"))
+        hw = Window.orderBy(F.desc("aq4"))
+        cum = hist.select(
+            "aq4",
+            F.sum("cnt").over(hw.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum"),
+            F.sum("cnt").over(Window.partitionBy()).alias("n_total"))
+        k = F.ceil(F.lit(dsir_frac) * F.col("n_total")).cast("bigint")
+        thr = (cum.filter(F.col("cum") >= k)
+               .agg(F.max("aq4").alias("dsir_thr")))
+        keep_ids = (scored.crossJoin(F.broadcast(thr))
+                    .filter(F.col("aq4") >= F.col("dsir_thr"))
+                    .select("doc_id"))
+        kept = kept.join(keep_ids, "doc_id")  # id-keyed; AQE sizes it
+        stages.append(("dsir_select", n_pre, int(kept.count()),
                        0, time.time() - ts))
         ts = time.time()
     scrubbed = (pii_scrub_cols(kept)

@@ -172,3 +172,42 @@ def test_chunk_dedup_stage(spark, tmp_path):
               .toPandas())
     ck = stages[stages["stage"] == "chunk_clean"]
     assert len(ck) == 1 and ck.iloc[0]["n_docs_out"] == 3
+
+
+def test_dsir_stage_selects_target_domain(spark, tmp_path):
+    """prepare_corpus(dsir_frac=0.5) keeps exactly the half of the
+    gated corpus that looks like the target domain (planted two-vocab
+    corpus: the 6 alpha-vocabulary docs must survive, the 6
+    zulu-vocabulary docs must not), and the manifest carries the
+    dsir_select stage row."""
+    from atr_adaptive_laguerre_spark.engine.corpus_job import (
+        prepare_corpus,
+    )
+
+    rows = []
+    for i in range(1, 7):
+        rows.append((i, " ".join(f"alpha{j % 7}"
+                                 for j in range(i, i + 40)),
+                     "en", "tgt" if i <= 2 else "pool", 0))
+    for i in range(7, 13):
+        rows.append((i, " ".join(f"zulu{j % 7}"
+                                 for j in range(i, i + 40)),
+                     "en", "pool", 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars int")
+    out_dir = str(tmp_path / "out")
+    summary = prepare_corpus(
+        spark, docs, out_dir, manifest_dir=str(tmp_path / "m"),
+        run_id="dsirrun", min_tokens=10, min_quality=0.0,
+        near_dup=False, dsir_frac=0.5, dsir_target_sources=("tgt",))
+    out = spark.read.parquet(out_dir).toPandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3, 4, 5, 6]
+    assert summary["n_docs_out"] == 6
+    stages = (spark.read.parquet(str(tmp_path / "m" / "stages"))
+              .toPandas())
+    ds = stages[stages["stage"] == "dsir_select"]
+    assert len(ds) == 1
+    assert ds.iloc[0]["n_docs_in"] == 12
+    assert ds.iloc[0]["n_docs_out"] == 6
+    assert "dsir_select" in summary["stages"]

@@ -44,6 +44,14 @@ def main() -> None:
                     help="RefinedWeb-style sub-document pass: remove "
                          "globally-duplicated fixed-width chunks from "
                          "kept docs")
+    ap.add_argument("--dsir-frac", type=float, default=None,
+                    help="DSIR domain-targeted selection: keep this top "
+                         "fraction of gated docs by hashed-ngram "
+                         "importance weight toward --dsir-sources")
+    ap.add_argument("--dsir-sources", default=None,
+                    help="comma-separated target-domain sources for "
+                         "--dsir-frac (default: the catalog's "
+                         "DSIR_TARGET_SOURCES)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -59,7 +67,10 @@ def main() -> None:
         spark, docs, args.output, manifest_dir=args.manifest,
         run_id=args.run_id, min_tokens=args.min_tokens,
         min_quality=args.min_quality, near_dup=not args.no_near_dup,
-        chunk_dedup=args.chunk_dedup, seq_len=args.seq_len)
+        chunk_dedup=args.chunk_dedup, dsir_frac=args.dsir_frac,
+        dsir_target_sources=(tuple(args.dsir_sources.split(","))
+                             if args.dsir_sources else None),
+        seq_len=args.seq_len)
     print(json.dumps(summary))
 
 
