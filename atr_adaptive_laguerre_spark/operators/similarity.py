@@ -1247,6 +1247,73 @@ ORDER BY s.i, s.j
 """
 
 
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-scoring of the embedding corpus — the APPLY
+    counterpart to :func:`q_embedding_covariance`'s whitening
+    statistics (raw encoder embeddings are anisotropic; standardized
+    components make cosine/L2 retrieval behave across dimensions).
+    Returns the corpus in long form (vec_id, d, z) with the per-dim
+    mean/std carried for self-description.
+
+    Scale shape: one posexplode feeds a d-keyed groupBy (64 output
+    rows — corpus-size-independent), which broadcasts back onto the
+    same exploded frame; no self-join, no corpus-sized window.
+
+    Determinism: first and second moments are micro-quantized to
+    BIGINT per TERM before the cross-partition SUM (the CLAUDE.md
+    accumulation-order invariant); mean/var/σ then derive from those
+    exact integers through an identical scalar chain in both engines."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    comp = emb.select("vec_id", F.posexplode("v").alias("d", "x"))
+    u6 = lambda c: F.floor(c * F.lit(1000000.0)  # noqa: E731
+                           + F.lit(0.5)).cast("bigint")
+    stats = (comp.groupBy("d")
+             .agg(F.sum(u6(F.col("x"))).alias("sx"),
+                  F.sum(u6(F.col("x") * F.col("x"))).alias("sxx"),
+                  F.count(F.lit(1)).alias("n")))
+    mu = F.col("sx").cast("double") / 1000000.0 / F.col("n")
+    var = (F.col("sxx").cast("double") / 1000000.0 / F.col("n")
+           - mu * mu)
+    stats = stats.select("d", mu.alias("mu"),
+                         F.sqrt(F.greatest(var, F.lit(0.0))).alias("sig"))
+    return (comp.join(F.broadcast(stats), "d")
+            .select("vec_id", "d",
+                    _r6(F.col("mu")).alias("mu"),
+                    _r6(F.col("sig")).alias("sig"),
+                    _r6(F.when(F.col("sig") > 0,
+                               (F.col("x") - F.col("mu")) / F.col("sig"))
+                        .otherwise(F.lit(0.0))).alias("z"))
+            .orderBy("vec_id", "d"))
+
+
+ORACLE_EMBEDDING_STANDARDIZE = """
+WITH comp AS (
+  SELECT vec_id, d, embedding[d + 1]::DOUBLE AS x
+  FROM embeddings, UNNEST(range(0, len(embedding))) AS t(d)
+), stats AS (
+  SELECT d,
+         SUM(FLOOR(x * 1000000.0 + 0.5)::BIGINT)::BIGINT AS sx,
+         SUM(FLOOR(x * x * 1000000.0 + 0.5)::BIGINT)::BIGINT AS sxx,
+         COUNT(*)::BIGINT AS n
+  FROM comp GROUP BY d
+), ms AS (
+  SELECT d, sx::DOUBLE / 1000000.0 / n AS mu,
+         sqrt(greatest(sxx::DOUBLE / 1000000.0 / n
+                       - (sx::DOUBLE / 1000000.0 / n)
+                       * (sx::DOUBLE / 1000000.0 / n), 0.0)) AS sig
+  FROM stats
+)
+SELECT c.vec_id, c.d,
+       FLOOR(ms.mu * 1000000.0 + 0.5) / 1000000.0 AS mu,
+       FLOOR(ms.sig * 1000000.0 + 0.5) / 1000000.0 AS sig,
+       FLOOR((CASE WHEN ms.sig > 0 THEN (c.x - ms.mu) / ms.sig
+                   ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS z
+FROM comp c JOIN ms USING (d)
+ORDER BY c.vec_id, c.d
+"""
+
+
 def principal_axis(cov: "list[list[float]]", iters: int = 512):
     """Top eigenvector/eigenvalue of a (tiny, driver-side) covariance
     matrix by power iteration — the d×d eigensolve step of PCA
@@ -1546,6 +1613,7 @@ QUERIES = {
     "knn_graph": q_knn_graph,
     "hard_negative_mining": q_hard_negative_mining,
     "embedding_covariance": q_embedding_covariance,
+    "embedding_standardize": q_embedding_standardize,
 }
 
 ORACLES = {
@@ -1563,4 +1631,5 @@ ORACLES = {
     "knn_graph": ORACLE_KNN_GRAPH,
     "hard_negative_mining": ORACLE_HARD_NEGATIVE_MINING,
     "embedding_covariance": ORACLE_EMBEDDING_COVARIANCE,
+    "embedding_standardize": ORACLE_EMBEDDING_STANDARDIZE,
 }

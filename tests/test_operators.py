@@ -1754,3 +1754,33 @@ def test_dsir_persisted_model_matches_inline(spark, tmp_path):
     assert len(out) == 1
     assert out["n_grams"].iloc[0] == 9  # 5 unigrams + 4 bigrams
     assert out["s_micro"].iloc[0] != 0  # smoothed default applied
+
+
+def test_embedding_standardize_zero_mean_unit_std(spark):
+    """z-scored components must come out ~N(0,1) per dimension (mean 0,
+    std 1 up to the r6 grid), and each z must reproduce (x - mu)/sig
+    from the raw vectors."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        q_embedding_standardize,
+    )
+
+    out = q_embedding_standardize(spark, SF).toPandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    n_vecs = len(emb)
+    dim = len(emb["embedding"].iloc[0])
+    assert len(out) == n_vecs * dim
+    g = out.groupby("d")["z"]
+    assert np.abs(g.mean()).max() < 1e-4
+    assert np.abs(g.std(ddof=0) - 1.0).max() < 1e-3
+
+    mat = np.stack(emb.sort_values("vec_id")["embedding"].to_numpy())
+    byvec = out.sort_values(["vec_id", "d"])
+    x = mat.astype(np.float64).reshape(-1)
+    expect = (x - byvec["mu"].to_numpy()) / byvec["sig"].to_numpy()
+    # mu/sig in the output are r6-quantized (±5e-7); dividing by sig
+    # amplifies that into the reconstruction by ~|z|/sig, so the bound
+    # is ~1e-4 even though z itself is exact to the r6 grid
+    assert np.abs(byvec["z"].to_numpy() - expect).max() < 1e-4
