@@ -33,19 +33,22 @@ SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SF1 = os.path.join(REPO, ".testdata_sf1")
 
 
-def _run(spark, docs_path: str, tag: str, work: str) -> dict:
+def _run(spark, docs_path: str, tag: str, work: str,
+         dsir_frac: "float | None" = None) -> dict:
     from pyspark.sql import functions as F
 
     from atr_adaptive_laguerre_spark.engine.corpus_job import prepare_corpus
 
     docs = spark.read.parquet(docs_path)
     n_docs = docs.count()
-    n_tok = docs.select(F.sum(F.size("tokens"))).collect()[0][0]
+    n_tok = docs.select(F.sum(F.size(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+")))).collect()[0][0]
     out = os.path.join(work, f"corpus_{tag}")
     man = os.path.join(work, f"manifest_{tag}")
     t0 = time.perf_counter()
     summary = prepare_corpus(spark, docs, out, manifest_dir=man,
-                             run_id=f"bench-{tag}", chunk_dedup=True)
+                             run_id=f"bench-{tag}", chunk_dedup=True,
+                             dsir_frac=dsir_frac)
     wall = time.perf_counter() - t0
     stages = [
         {"stage": r["stage"], "n_in": r["n_docs_in"], "n_out": r["n_docs_out"],
@@ -73,14 +76,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="pipebench_")
     try:
-        runs = [_run(spark, f"{SF01}/documents.parquet", "sf0.1", work)]
+        runs = [_run(spark, f"{SF01}/documents.parquet", "sf0.1", work),
+                _run(spark, f"{SF01}/documents.parquet", "sf0.1_dsir",
+                     work, dsir_frac=0.5)]
         sf1_docs = f"{SF1}/documents.parquet"
         if not args.no_sf1 and os.path.exists(sf1_docs):
             runs.append(_run(spark, sf1_docs, "sf1_10x", work))
         out = {"runs": runs}
-        if len(runs) == 2:
+        by_tag = {r["tag"]: r for r in runs}
+        if "sf1_10x" in by_tag:
             out["wall_ratio_at_10x"] = round(
-                runs[1]["wall_s"] / runs[0]["wall_s"], 2)
+                by_tag["sf1_10x"]["wall_s"] / by_tag["sf0.1"]["wall_s"], 2)
         path = os.path.join(REPO, "BENCH", "pipeline.json")
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
