@@ -66,6 +66,7 @@ OPERATOR_QUERIES = [
     "hard_negative_mining",
     "ann_ivfpq_rerank",
     "dsir_select",
+    "embedding_standardize",
 ]
 
 
