@@ -401,3 +401,33 @@ def test_dsir_topn_is_take_ordered_no_wide_joins(spark):
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_ivfpq_rerank_bounded_broadcasts_no_smj(spark):
+    """The rerank stage must never widen beyond broadcasts: the ADC
+    shortlist and query frames ride as broadcast joins onto the one
+    corpus scan; no sort-merge join, cartesian product, or Python
+    eval anywhere."""
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        q_ann_ivfpq_rerank,
+    )
+
+    plan = _plan(q_ann_ivfpq_rerank(spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_embedding_standardize_one_stats_broadcast(spark):
+    """Standardize: the 64-row per-dim stats come back as a BROADCAST
+    onto the exploded frame — no self-join, no sort-merge join, no
+    corpus-sized window, no Python eval."""
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        q_embedding_standardize,
+    )
+
+    plan = _plan(q_embedding_standardize(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
