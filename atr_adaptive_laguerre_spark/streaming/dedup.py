@@ -114,3 +114,44 @@ def stream_incremental_neardup(spark: SparkSession, input_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def stream_dsir_select(spark: SparkSession, input_dir: str,
+                       model_dir: str, output_dir: str,
+                       checkpoint_dir: str,
+                       min_micro_per_gram: int = 0) -> None:
+    """Streaming domain-targeted selection against a PERSISTED DSIR
+    model (:func:`...operators.curation.build_dsir_model`) — the
+    crawl-ingestion shape of importance-resampling data selection:
+    each micro-batch of new documents scores against the stored
+    per-bucket ratio table (one broadcast join; the training corpus is
+    never touched) and docs whose per-gram importance weight clears
+    ``min_micro_per_gram`` micro-nats append to the curated output with
+    their scores attached.
+
+    The keep test is exact integer arithmetic
+    (``s_micro >= min_micro_per_gram * n_grams``) — no float threshold
+    can drift between a batch calibration run and the stream.
+    Idempotence: each micro-batch OVERWRITES its own ``batch=<id>``
+    subdirectory (the same retry discipline as
+    :func:`stream_incremental_neardup`)."""
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        score_dsir_batch,
+    )
+
+    def process(batch, batch_id: int) -> None:
+        sp = batch.sparkSession
+        scored = score_dsir_batch(sp, batch, model_dir)
+        kept = (batch.join(scored, "doc_id")
+                .filter(F.col("s_micro")
+                        >= F.lit(int(min_micro_per_gram))
+                        * F.col("n_grams")))
+        kept.write.mode("overwrite").parquet(
+            f"{output_dir}/batch={batch_id}")
+
+    sdf = spark.readStream.schema(DOC_SCHEMA).parquet(input_dir)
+    q = (sdf.writeStream.foreachBatch(process)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

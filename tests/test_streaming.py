@@ -732,3 +732,56 @@ def test_stream_incremental_neardup_grows_index(spark, tmp_path):
     stream_incremental_neardup(spark, input_dir, index_dir, out_dir, ckpt)
     out2 = spark.read.parquet(out_dir).toPandas()
     assert sorted(out2["doc_id"]) == [101, 102, 201]
+
+
+def test_stream_dsir_select_matches_batch(spark, tmp_path):
+    """Streaming DSIR selection: micro-batches score against the
+    persisted model exactly as score_dsir_batch does in batch (same
+    s_micro per doc), the integer per-gram threshold keeps only
+    target-lookalike docs, and a checkpointed re-run is a no-op."""
+    from pyspark.sql import functions as F
+
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        build_dsir_model, score_dsir_batch,
+    )
+    from atr_adaptive_laguerre_spark.streaming.dedup import (
+        stream_dsir_select,
+    )
+
+    train = []
+    for i in range(8):
+        train.append((i, " ".join(f"alpha{j % 5}"
+                                  for j in range(i, i + 30))))
+    for i in range(8, 16):
+        train.append((i, " ".join(f"zulu{j % 5}"
+                                  for j in range(i, i + 30))))
+    docs = spark.createDataFrame(train, "doc_id long, text string")
+    model_dir = str(tmp_path / "model")
+    build_dsir_model(docs, F.col("doc_id") < 4, model_dir)
+
+    b1 = spark.createDataFrame(
+        [(100, " ".join(f"alpha{j % 5}" for j in range(3, 33))),
+         (101, " ".join(f"zulu{j % 5}" for j in range(3, 33)))],
+        "doc_id long, text string")
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    b1.coalesce(1).write.mode("append").parquet(input_dir)
+    stream_dsir_select(spark, input_dir, model_dir, out_dir, ckpt,
+                       min_micro_per_gram=0)
+
+    out = spark.read.parquet(out_dir).toPandas()
+    assert sorted(out["doc_id"]) == [100]   # alpha kept, zulu below 0
+
+    # streamed score == batch score against the same model
+    batch_scores = (score_dsir_batch(spark, b1, model_dir).toPandas()
+                    .set_index("doc_id")["s_micro"])
+    assert out.set_index("doc_id")["s_micro"].loc[100] \
+        == batch_scores.loc[100]
+    assert batch_scores.loc[101] < 0
+
+    # checkpointed re-run with no new input: nothing changes
+    stream_dsir_select(spark, input_dir, model_dir, out_dir, ckpt,
+                       min_micro_per_gram=0)
+    assert sorted(spark.read.parquet(out_dir).toPandas()["doc_id"]) \
+        == [100]
