@@ -997,6 +997,45 @@ def query_pq_index(spark: SparkSession, index_dir: str,
             .orderBy("query_id", "rank"))
 
 
+def query_pq_index_rerank(spark: SparkSession, index_dir: str,
+                          queries: DataFrame, emb: DataFrame,
+                          top_k: int = TOP_K, nprobe: int = IVF_NPROBE,
+                          r_cand: int = RERANK_R) -> DataFrame:
+    """Serve ANN queries against a :func:`build_pq_index` store WITH
+    the exact-rerank refine — the full production shape: the index's
+    codes shortlist ``r_cand`` candidates per query (partition-pruned
+    probe, ADC scoring), then ONLY those rows fetch their original
+    vectors from ``emb`` (the corpus embedding frame — vectors are
+    deliberately NOT duplicated into the index) for the exact-cosine
+    final ranking.  The shortlist is bounded at queries x r_cand, so
+    the vector fetch is a broadcast join against one corpus scan; at
+    100 TB the full vectors stream past once and only shortlisted rows
+    compute the exact math.  Bit-identical to the inline
+    :func:`q_ann_ivfpq_rerank` on the same corpus (tested)."""
+    short = (query_pq_index(spark, index_dir, queries,
+                            top_k=r_cand, nprobe=nprobe)
+             .select("query_id", "cand_id", "pq_dist"))
+    embn = emb.withColumn("nrm", _norm(F.col("v")))
+    qv = (queries.select(F.col("vec_id").alias("query_id"),
+                         F.col("v").alias("qv"))
+          .withColumn("qn", _norm(F.col("qv"))))
+    exact = (embn.join(F.broadcast(short),
+                       embn["vec_id"] == short["cand_id"])
+             .select("query_id", "cand_id", "pq_dist",
+                     F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+             .join(F.broadcast(qv), "query_id")
+             .select("query_id", "cand_id", "pq_dist",
+                     _r6(_cosine(F.col("qv"), F.col("cv"),
+                                 F.col("qn"), F.col("cn")))
+                     .alias("cos_sim")))
+    wf = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                                F.col("cand_id").asc())
+    return (exact.withColumn("rank", F.row_number().over(wf))
+            .filter(F.col("rank") <= top_k)
+            .select("query_id", "rank", "cand_id", "cos_sim", "pq_dist")
+            .orderBy("query_id", "rank"))
+
+
 DUP_BANDS = 2
 DUP_PLANES = 4
 DUP_COS_THRESHOLD = 0.40

@@ -1784,3 +1784,30 @@ def test_embedding_standardize_zero_mean_unit_std(spark):
     # amplifies that into the reconstruction by ~|z|/sig, so the bound
     # is ~1e-4 even though z itself is exact to the r6 grid
     assert np.abs(byvec["z"].to_numpy() - expect).max() < 1e-4
+
+
+def test_pq_index_rerank_matches_inline(spark, tmp_path):
+    """Serving-side rerank against the persisted index must be
+    bit-identical to the inline retrain-per-call q_ann_ivfpq_rerank
+    (training is deterministic; the refine only touches shortlisted
+    rows' vectors)."""
+    from pyspark.sql import functions as F
+
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        IVF_N_QUERIES, build_pq_index, q_ann_ivfpq_rerank,
+        query_pq_index_rerank,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = (spark.read.parquet(f"{sf}/embeddings.parquet")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v")))
+    idx = str(tmp_path / "pq_index")
+    build_pq_index(emb, idx)
+
+    queries = emb.filter(F.col("vec_id") < IVF_N_QUERIES)
+    served = query_pq_index_rerank(spark, idx, queries, emb)
+    inline = q_ann_ivfpq_rerank(spark, sf)
+    sp = served.toPandas().reset_index(drop=True)
+    ip = inline.toPandas().reset_index(drop=True)
+    assert sp.equals(ip), (sp.head(), ip.head())
