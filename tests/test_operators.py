@@ -1811,3 +1811,53 @@ def test_pq_index_rerank_matches_inline(spark, tmp_path):
     sp = served.toPandas().reset_index(drop=True)
     ip = inline.toPandas().reset_index(drop=True)
     assert sp.equals(ip), (sp.head(), ip.head())
+
+
+def test_dsir_second_bucket_config(spark):
+    """dsir_scores at a NON-default bucket count (64) vs the python
+    reference recomputed at the same count — no bucket constant can
+    hide baked into the Spark pipeline (the second-config discipline
+    the kernel oracles follow)."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        DSIR_TARGET_SOURCES, dsir_scores,
+    )
+    from atr_adaptive_laguerre_spark.operators.io import read_table
+
+    nb = 64
+    docs = read_table(spark, SF, "documents")
+    got = (dsir_scores(docs, F.col("source").isin(*DSIR_TARGET_SOURCES),
+                       n_buckets=nb).toPandas()
+           .set_index("doc_id")["s_micro"].to_dict())
+
+    raw = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "source", "text"]).to_pandas()
+    cdoc: dict = {}
+    tgt = set()
+    for r in raw.itertuples():
+        w = r.text.strip().lower().split()
+        grams = w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+        if r.source in DSIR_TARGET_SOURCES:
+            tgt.add(r.doc_id)
+        for g in grams:
+            b = int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % nb
+            cdoc[(r.doc_id, b)] = cdoc.get((r.doc_id, b), 0) + 1
+    cr: dict = {}
+    ct: dict = {}
+    for (d, b), c in cdoc.items():
+        cr[b] = cr.get(b, 0) + c
+        if d in tgt:
+            ct[b] = ct.get(b, 0) + c
+    tr, tt = sum(cr.values()), sum(ct.values())
+    lm = lambda c, t: math.floor(  # noqa: E731
+        math.log((c + 1.0) / (t + nb)) * 1e6 + 0.5)
+    lpq = {b: lm(ct.get(b, 0), tt) - lm(cr[b], tr) for b in cr}
+    want: dict = {}
+    for (d, b), c in cdoc.items():
+        want[d] = want.get(d, 0) + c * lpq[b]
+    assert got == want
