@@ -85,6 +85,11 @@ PLAN_NOTES = {
                    "single conditional-sum aggregate broadcast back; "
                    "global top-N is TakeOrderedAndProject, never a "
                    "global sort",
+    "embedding_standardize": "posexplode -> 64-row d-keyed stats "
+                             "broadcast back onto the exploded frame "
+                             "(BroadcastHashJoin) — no self-join, no "
+                             "corpus-sized window; trailing orderBy is "
+                             "presentation only",
 }
 
 
