@@ -609,6 +609,78 @@ ORDER BY b.source
 """
 
 
+#: drop a training doc at this many distinct benchmark-shingle hits
+CONTAM_DROP_MIN = 1
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str,
+                    min_hits: int = CONTAM_DROP_MIN) -> DataFrame:
+    """Train/eval DECONTAMINATION — the removal action paired with the
+    `contamination_check` audit (the GPT-3 appendix methodology: docs
+    sharing n-grams with an eval benchmark are dropped from training,
+    not just counted).  Per training document: the number of DISTINCT
+    benchmark ``CONTAM_NGRAM``-grams it collides with (``n_hits``) and
+    the keep decision (``kept = n_hits < min_hits``).
+
+    Scale shape — identical to the audit: the benchmark's distinct
+    shingle set is eval-suite-sized (corpus-independent); the training
+    side is one linear explode + one shingle-keyed equi-join + one
+    doc_id groupBy.  No corpus self-join; no broadcast hint (AQE
+    broadcasts the benchmark side when small).  ``n_hits`` is an exact
+    integer, so the keep decision cannot drift between engines."""
+    from atr_adaptive_laguerre_spark.operators.dedup import shingles_col
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = shingles_col(CONTAM_NGRAM)
+    bench = (docs.filter(F.col("source") == BENCHMARK_SOURCE)
+             .select(F.explode(sh).alias("s")).distinct())
+    train = docs.filter(F.col("source") != BENCHMARK_SOURCE)
+    hits = (train.select("doc_id", F.explode(sh).alias("s"))
+            .join(bench, "s")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("s").alias("n_hits")))
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
+    return (train.select("doc_id", "source")
+            .join(hits, "doc_id", "left")
+            .select("doc_id", "source", n_hits.alias("n_hits"),
+                    (n_hits < min_hits).cast("int").alias("kept"))
+            .orderBy("doc_id"))
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), shl AS (
+  SELECT doc_id, source,
+         list_distinct([array_to_string(words[i:i+{CONTAM_NGRAM - 1}], ' ')
+                        for i in range(1, length(words)
+                                          - {CONTAM_NGRAM - 2})])
+           AS sh
+  FROM w
+), bench AS (
+  SELECT DISTINCT unnest(sh) AS s FROM shl
+  WHERE source = '{BENCHMARK_SOURCE}'
+), tr AS (
+  SELECT doc_id, unnest(sh) AS s FROM shl
+  WHERE source != '{BENCHMARK_SOURCE}'
+), hits AS (
+  SELECT tr.doc_id, COUNT(DISTINCT tr.s)::BIGINT AS n_hits
+  FROM tr JOIN bench USING (s)
+  GROUP BY tr.doc_id
+)
+SELECT t.doc_id, t.source,
+       COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+       (CASE WHEN COALESCE(h.n_hits, 0) < {CONTAM_DROP_MIN}
+             THEN 1 ELSE 0 END) AS kept
+FROM (SELECT doc_id, source FROM documents
+      WHERE source != '{BENCHMARK_SOURCE}') t
+LEFT JOIN hits h ON t.doc_id = h.doc_id
+ORDER BY t.doc_id
+"""
+
+
 def q_corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture weights per source domain — the sampling-weight
     computation of a multi-domain training mix (the XLM/LLaMA idiom):
@@ -1233,6 +1305,7 @@ QUERIES = {
     "corpus_curation_quantile": q_corpus_curation_quantile,
     "corpus_sample_stratified": q_corpus_sample_stratified,
     "contamination_check": q_contamination_check,
+    "decontaminate": q_decontaminate,
     "train_val_split": q_train_val_split,
     "dsir_select": q_dsir_select,
 }
@@ -1249,6 +1322,7 @@ ORACLES = {
     "corpus_curation_quantile": ORACLE_CORPUS_CURATION_QUANTILE,
     "corpus_sample_stratified": ORACLE_CORPUS_SAMPLE_STRATIFIED,
     "contamination_check": ORACLE_CONTAMINATION_CHECK,
+    "decontaminate": ORACLE_DECONTAMINATE,
     "train_val_split": ORACLE_TRAIN_VAL_SPLIT,
     "dsir_select": ORACLE_DSIR_SELECT,
 }

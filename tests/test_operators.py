@@ -1861,3 +1861,23 @@ def test_dsir_second_bucket_config(spark):
     for (d, b), c in cdoc.items():
         want[d] = want.get(d, 0) + c * lpq[b]
     assert got == want
+
+
+def test_decontaminate_consistent_with_audit(spark):
+    """The removal op and the audit must agree: per source, the number
+    of docs with n_hits > 0 equals the audit's n_contaminated, and
+    kept == (n_hits < CONTAM_DROP_MIN) row-by-row."""
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        CONTAM_DROP_MIN, q_contamination_check, q_decontaminate,
+    )
+
+    dec = q_decontaminate(spark, SF).toPandas()
+    audit = (q_contamination_check(spark, SF).toPandas()
+             .set_index("source"))
+    per_src = dec[dec["n_hits"] > 0].groupby("source").size()
+    for src, row in audit.iterrows():
+        assert per_src.get(src, 0) == row["n_contaminated"], src
+    assert ((dec["kept"] == 1) ==
+            (dec["n_hits"] < CONTAM_DROP_MIN)).all()
+    assert (dec["n_hits"] > 0).any()      # the gate is non-degenerate
+    assert (dec["kept"] == 1).any()
