@@ -67,6 +67,7 @@ OPERATOR_QUERIES = [
     "ann_ivfpq_rerank",
     "dsir_select",
     "embedding_standardize",
+    "decontaminate",
 ]
 
 
