@@ -90,6 +90,10 @@ PLAN_NOTES = {
                              "(BroadcastHashJoin) — no self-join, no "
                              "corpus-sized window; trailing orderBy is "
                              "presentation only",
+    "decontaminate": "eval-suite-sized benchmark shingle set joined on "
+                     "the shingle key, folded to per-doc hit counts — "
+                     "no corpus self-join; AQE sizes the benchmark "
+                     "join (broadcast in the normal case)",
 }
 
 
