@@ -1065,7 +1065,77 @@ LIMIT {BM25_TOPN}
 """
 
 
+#: overlapping-chunk window and stride (tokens); overlap = CHUNK_W - CHUNK_S
+CHUNK_W = 64
+CHUNK_S = 48
+
+
+def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str,
+                        width: int = CHUNK_W,
+                        stride: int = CHUNK_S) -> DataFrame:
+    """Overlapping document chunking — the RAG-index / long-context
+    training-prep primitive: split every document into fixed-width
+    token windows advanced by ``stride`` (overlap = width − stride),
+    so no span longer than the overlap is ever lost at a boundary.
+    Distinct from `sequence_packing` (which packs WHOLE docs into
+    training sequences) and from the dedup chunker (disjoint windows):
+    this is the chunk grain an embedding/RAG pipeline indexes.
+
+    Output: one row per (doc_id, chunk_id) with the chunk's token
+    offset, its token count, and the md5 of its text (the id a chunk
+    store would key on) — the chunk text itself stays in the plan, not
+    the result, so the frame is narrow at any corpus size.
+
+    Scale shape: a per-row ``sequence`` + explode (linear in tokens,
+    ~1/stride rows per token), zero joins, zero shuffles before the
+    presentation sort.  Short docs (≤ width tokens) yield exactly one
+    chunk covering the whole doc; both engines clamp the final window
+    at the document end identically."""
+    docs = _docs(spark, sf_dir)
+    w = words_col()
+    n = F.size(w)
+    n_chunks = F.when(n <= width, F.lit(1)).otherwise(
+        F.ceil((n - width).cast("double") / stride).cast("int") + 1)
+    chunked = docs.select(
+        "doc_id", w.alias("w"), n.alias("n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"))
+    start = F.col("chunk_id") * stride
+    chunk = F.slice(F.col("w"), start + 1, width)
+    return (chunked.select(
+        "doc_id", "chunk_id",
+        start.cast("bigint").alias("start_tok"),
+        F.size(chunk).cast("bigint").alias("n_tok_chunk"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"))
+        .orderBy("doc_id", "chunk_id"))
+
+
+ORACLE_DOC_CHUNK_OVERLAP = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), c AS (
+  SELECT doc_id, words,
+         unnest(range(0, CASE WHEN length(words) <= {CHUNK_W} THEN 1
+                              ELSE CEIL((length(words) - {CHUNK_W})::DOUBLE
+                                        / {CHUNK_S})::INT + 1 END))
+           AS chunk_id
+  FROM w
+)
+SELECT doc_id, chunk_id,
+       (chunk_id * {CHUNK_S})::BIGINT AS start_tok,
+       length(words[chunk_id * {CHUNK_S} + 1 :
+                    chunk_id * {CHUNK_S} + {CHUNK_W}])::BIGINT
+         AS n_tok_chunk,
+       md5(array_to_string(words[chunk_id * {CHUNK_S} + 1 :
+                                 chunk_id * {CHUNK_S} + {CHUNK_W}], ' '))
+         AS chunk_hash
+FROM c
+ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES = {
+    "doc_chunk_overlap": q_doc_chunk_overlap,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1081,6 +1151,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_chunk_overlap": ORACLE_DOC_CHUNK_OVERLAP,
     "bm25_search": ORACLE_BM25_SEARCH,
     "text_stats": ORACLE_TEXT_STATS,
     "lang_id": ORACLE_LANG_ID,

@@ -1881,3 +1881,46 @@ def test_decontaminate_consistent_with_audit(spark):
             (dec["n_hits"] < CONTAM_DROP_MIN)).all()
     assert (dec["n_hits"] > 0).any()      # the gate is non-degenerate
     assert (dec["kept"] == 1).any()
+
+
+def test_doc_chunk_overlap_covers_every_token(spark):
+    """Chunking invariants: chunk 0 starts at 0; consecutive chunks
+    advance by exactly CHUNK_S; every chunk except possibly the last is
+    CHUNK_W tokens; the last chunk reaches the document end (full
+    coverage, nothing lost at boundaries); short docs yield exactly one
+    whole-doc chunk; and the chunk hash matches a python recompute."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from atr_adaptive_laguerre_spark.operators.text import (
+        CHUNK_S, CHUNK_W, q_doc_chunk_overlap,
+    )
+
+    out = q_doc_chunk_overlap(spark, SF).toPandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    words = {r.doc_id: r.text.strip().lower().split()
+             for r in docs.itertuples()}
+    for d, grp in out.groupby("doc_id"):
+        grp = grp.sort_values("chunk_id")
+        n = len(words[d])
+        assert grp["chunk_id"].tolist() == list(range(len(grp)))
+        assert (grp["start_tok"] == grp["chunk_id"] * CHUNK_S).all()
+        if n <= CHUNK_W:
+            assert len(grp) == 1 and grp["n_tok_chunk"].iloc[0] == n
+        else:
+            assert (grp["n_tok_chunk"].iloc[:-1] == CHUNK_W).all()
+            last = grp.iloc[-1]
+            assert last["start_tok"] + last["n_tok_chunk"] == n
+            # one more stride would start past the end
+            assert (last["start_tok"] + CHUNK_S >= n - CHUNK_W + CHUNK_S
+                    and last["start_tok"] < n)
+    # hash parity on one multi-chunk doc
+    big = out.groupby("doc_id").size()
+    d = big.idxmax()
+    assert big[d] >= 2          # the corpus has at least one 2-chunk doc
+    row = out[(out["doc_id"] == d) & (out["chunk_id"] == 1)].iloc[0]
+    chunk = words[d][CHUNK_S:CHUNK_S + CHUNK_W]
+    assert row["chunk_hash"] == hashlib.md5(
+        " ".join(chunk).encode()).hexdigest()
