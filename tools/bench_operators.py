@@ -68,6 +68,7 @@ OPERATOR_QUERIES = [
     "dsir_select",
     "embedding_standardize",
     "decontaminate",
+    "doc_chunk_overlap",
 ]
 
 
