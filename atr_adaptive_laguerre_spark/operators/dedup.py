@@ -435,6 +435,83 @@ FROM bb a JOIN bb b
 ORDER BY doc_a, doc_b
 """
 
+#: normalized edit-similarity keep threshold for the character-level
+#: verify stage
+EDIT_SIM_TAU = 0.8
+
+
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup verification: exact Levenshtein distance
+    over the MinHash-LSH candidate pairs — the edit-distance flavor of
+    the verify stage (catches small in-word edits that token-level
+    Jaccard treats as whole-token changes; the complement of the
+    3-gram/simhash/embedding flavors).  Per candidate pair: the raw
+    distance, the normalized similarity 1 − dist/max(len), and the
+    dup decision at ``EDIT_SIM_TAU``.
+
+    Scale shape: the O(len²) dynamic program runs ONLY on LSH
+    candidates (linear candidate generation, same as the Jaccard
+    verify), never corpus×corpus; text fetch is two id-keyed joins.
+    Both engines compute the same integer distance (Spark
+    ``levenshtein`` == DuckDB ``levenshtein``), so the r6-quantized
+    similarity and the keep decision cannot drift."""
+    docs = _docs(spark, sf_dir)
+    norm = F.concat_ws(" ", F.split(F.trim(F.lower(F.col("text"))),
+                                    r"\s+"))
+    nt = docs.select("doc_id", norm.alias("t"))
+    pairs = _lsh_candidate_pairs(docs)
+    a = nt.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
+    b = nt.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
+    dist = F.levenshtein(F.col("ta"), F.col("tb")).cast("bigint")
+    sim = _r6(F.lit(1.0) - dist.cast("double")
+              / F.greatest(F.length("ta"), F.length("tb")))
+    return (pairs.join(a, "doc_a").join(b, "doc_b")
+            .select("doc_a", "doc_b", dist.alias("edit_dist"),
+                    sim.alias("edit_sim"),
+                    (sim >= EDIT_SIM_TAU).cast("int").alias("is_dup"))
+            .orderBy("doc_a", "doc_b"))
+
+
+ORACLE_DEDUP_EDIT_DISTANCE = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(words[i:i+{NGRAM - 1}], ' ')
+                               for i in range(1, length(words) - {NGRAM - 2})]))
+           AS s
+  FROM w
+), hh AS (
+  {_hh_sql("sh")}
+), mh AS (
+  SELECT doc_id,
+         {_mh_sql_cols()}
+  FROM hh
+  GROUP BY doc_id
+), bb AS (
+{_band_selects()}
+), p AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bb a JOIN bb b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), nt AS (
+  SELECT doc_id, array_to_string(words, ' ') AS t FROM w
+)
+SELECT p.doc_a, p.doc_b,
+       levenshtein(a.t, b.t)::BIGINT AS edit_dist,
+       FLOOR((1.0 - levenshtein(a.t, b.t)::DOUBLE
+              / greatest(length(a.t), length(b.t)))
+             * 1000000.0 + 0.5) / 1000000.0 AS edit_sim,
+       (CASE WHEN FLOOR((1.0 - levenshtein(a.t, b.t)::DOUBLE
+                         / greatest(length(a.t), length(b.t)))
+                        * 1000000.0 + 0.5) / 1000000.0 >= {EDIT_SIM_TAU}
+             THEN 1 ELSE 0 END) AS is_dup
+FROM p JOIN nt a ON p.doc_a = a.doc_id
+       JOIN nt b ON p.doc_b = b.doc_id
+ORDER BY p.doc_a, p.doc_b
+"""
+
 SIMHASH_BITS = 16
 
 
@@ -1039,6 +1116,7 @@ QUERIES = {
     "dedup_chunk_clean": q_dedup_chunk_clean,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_edit_distance": q_dedup_edit_distance,
     "dedup_incremental": q_dedup_incremental,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1051,6 +1129,7 @@ ORACLES = {
     "dedup_chunk_clean": ORACLE_DEDUP_CHUNK_CLEAN,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
+    "dedup_edit_distance": ORACLE_DEDUP_EDIT_DISTANCE,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,

@@ -1924,3 +1924,43 @@ def test_doc_chunk_overlap_covers_every_token(spark):
     chunk = words[d][CHUNK_S:CHUNK_S + CHUNK_W]
     assert row["chunk_hash"] == hashlib.md5(
         " ".join(chunk).encode()).hexdigest()
+
+
+def test_edit_distance_matches_python_dp(spark):
+    """dedup_edit_distance vs an independent O(len^2) python DP on the
+    shortest few candidate pairs: same integer distance, and the
+    similarity/dup columns reproduce from it exactly."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        EDIT_SIM_TAU, q_dedup_edit_distance,
+    )
+
+    out = q_dedup_edit_distance(spark, SF).toPandas()
+    assert len(out) > 0
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    norm = {r.doc_id: " ".join(r.text.strip().lower().split())
+            for r in docs.itertuples()}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    out["tot_len"] = (out["doc_a"].map(lambda d: len(norm[d]))
+                      + out["doc_b"].map(lambda d: len(norm[d])))
+    for _, r in out.nsmallest(3, "tot_len").iterrows():
+        a, b = norm[r["doc_a"]], norm[r["doc_b"]]
+        d = lev(a, b)
+        assert r["edit_dist"] == d, (r["doc_a"], r["doc_b"])
+        sim = math.floor((1.0 - d / max(len(a), len(b))) * 1e6 + 0.5) / 1e6
+        assert r["edit_sim"] == sim
+        assert r["is_dup"] == int(sim >= EDIT_SIM_TAU)
