@@ -69,6 +69,7 @@ OPERATOR_QUERIES = [
     "embedding_standardize",
     "decontaminate",
     "doc_chunk_overlap",
+    "dedup_edit_distance",
 ]
 
 
