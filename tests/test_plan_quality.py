@@ -431,3 +431,17 @@ def test_embedding_standardize_one_stats_broadcast(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_edit_distance_candidates_only_no_cartesian(spark):
+    """The Levenshtein verify must run on LSH candidates only: no
+    cartesian product, no Python eval; text fetch joins are id-keyed."""
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        q_dedup_edit_distance,
+    )
+
+    plan = _plan(q_dedup_edit_distance(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "levenshtein" in plan, plan

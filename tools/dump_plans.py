@@ -94,6 +94,10 @@ PLAN_NOTES = {
                      "the shingle key, folded to per-doc hit counts — "
                      "no corpus self-join; AQE sizes the benchmark "
                      "join (broadcast in the normal case)",
+    "dedup_edit_distance": "O(len^2) Levenshtein runs ONLY on the LSH "
+                           "candidate pairs (linear generation); text "
+                           "fetch is two id-keyed joins — never "
+                           "corpus x corpus",
 }
 
 
