@@ -251,6 +251,62 @@ def _kmeans_codebook(emb: DataFrame, k: int = KMEANS_K,
     return cent
 
 
+def _assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest trained cell per corpus vector — ONE broadcast codebook
+    join + one vec-keyed window: ``(vec_id, v, nrm, acos, cell)``.
+    The shared post-training stage for every coarse-quantizer consumer
+    (IVF probing, SemDeDup, k-NN graph, cluster summary) and the
+    content of the persisted ``asgn/`` artifact in
+    :func:`build_semantic_index` — serving paths reuse this exact
+    expression tree, which is what makes served == inline bit-exact."""
+    sim = (emb.select("vec_id", "v", "nrm")
+           .crossJoin(F.broadcast(cent))
+           .select("vec_id", "v", "nrm", "cell",
+                   _r6(_cosine(F.col("v"), F.col("cv"),
+                               F.col("nrm"), F.col("cn")))
+                   .alias("acos")))
+    wa = Window.partitionBy("vec_id").orderBy(F.col("acos").desc(),
+                                              F.col("cell").asc())
+    return (sim.withColumn("arank", F.row_number().over(wa))
+            .filter(F.col("arank") == 1)
+            .select("vec_id", "v", "nrm", "acos", "cell"))
+
+
+def _ivf_probes(cent: DataFrame, q: DataFrame,
+                nprobe: int = IVF_NPROBE) -> DataFrame:
+    """``nprobe`` nearest cells per query vector (both sides broadcast
+    — queries are bounded, the codebook is O(cells x dim))."""
+    probe_sim = (F.broadcast(q).crossJoin(F.broadcast(cent))
+                 .select("query_id", "qv", "qn", "cell",
+                         _r6(_cosine(F.col("qv"), F.col("cv"),
+                                     F.col("qn"), F.col("cn")))
+                         .alias("pcos")))
+    wp = Window.partitionBy("query_id").orderBy(F.col("pcos").desc(),
+                                                F.col("cell").asc())
+    return (probe_sim.withColumn("prank", F.row_number().over(wp))
+            .filter(F.col("prank") <= nprobe)
+            .select("query_id", "qv", "qn", "cell"))
+
+
+def _ivf_exact_topk(probes: DataFrame, assigned: DataFrame,
+                    top_k: int = TOP_K) -> DataFrame:
+    """Exact cosine inside probed cells only, then the per-query rank
+    window (rank keys r6-quantized; ties break on cand_id)."""
+    sims = (probes.join(assigned.select("vec_id", "v", "nrm", "cell"),
+                        "cell")
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .select("query_id", F.col("vec_id").alias("cand_id"), "cell",
+                    _r6(_cosine(F.col("qv"), F.col("v"),
+                                F.col("qn"), F.col("nrm")))
+                    .alias("cos_sim")))
+    wr = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                                F.col("cand_id").asc())
+    return (sims.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= top_k)
+            .select("query_id", "rank", "cand_id", "cell", "cos_sim")
+            .orderBy("query_id", "rank"))
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str,
                    nprobe: int = IVF_NPROBE, k: int = KMEANS_K) -> DataFrame:
     """IVF (inverted-file) ANN with a TRAINED k-means codebook: Lloyd
@@ -264,50 +320,21 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str,
     corpus scan; the probe join shuffles on cell — candidates per query
     shrink by ~cells/nprobe vs the full scan.  ``nprobe`` is the
     recall/latency dial (measured curve: BENCH/ann_recall.json); the
-    catalog entry pins the defaults for the oracle twin."""
+    catalog entry pins the defaults for the oracle twin.  Production
+    serves from the persisted artifact instead
+    (:func:`build_semantic_index` / :func:`ann_ivf_from_index`)."""
     emb = _emb(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
     emb = emb.withColumn("nrm", _norm(F.col("v")))   # once per vector
     cent = _kmeans_codebook(emb, k=k)
     # inverted lists: nearest cell per corpus vector
-    asgn_sim = (emb.select("vec_id", "v", "nrm")
-                .crossJoin(F.broadcast(cent))
-                .select("vec_id", "v", "nrm", "cell",
-                        _r6(_cosine(F.col("v"), F.col("cv"),
-                                    F.col("nrm"), F.col("cn")))
-                        .alias("acos")))
-    wa = Window.partitionBy("vec_id").orderBy(F.col("acos").desc(),
-                                              F.col("cell").asc())
-    assigned = (asgn_sim.withColumn("arank", F.row_number().over(wa))
-                .filter(F.col("arank") == 1)
-                .select("vec_id", "v", "nrm", "cell"))
+    assigned = _assign_cells(emb, cent)
     # probe sets: NPROBE nearest cells per query vector
     q = (emb.filter(F.col("vec_id") < IVF_N_QUERIES)
          .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
                  F.col("nrm").alias("qn")))
-    probe_sim = (F.broadcast(q).crossJoin(F.broadcast(cent))
-                 .select("query_id", "qv", "qn", "cell",
-                         _r6(_cosine(F.col("qv"), F.col("cv"),
-                                     F.col("qn"), F.col("cn")))
-                         .alias("pcos")))
-    wp = Window.partitionBy("query_id").orderBy(F.col("pcos").desc(),
-                                                F.col("cell").asc())
-    probes = (probe_sim.withColumn("prank", F.row_number().over(wp))
-              .filter(F.col("prank") <= nprobe)
-              .select("query_id", "qv", "qn", "cell"))
-    # exact cosine inside probed cells only
-    sims = (probes.join(assigned, "cell")
-            .filter(F.col("query_id") != F.col("vec_id"))
-            .select("query_id", F.col("vec_id").alias("cand_id"), "cell",
-                    _r6(_cosine(F.col("qv"), F.col("v"),
-                                F.col("qn"), F.col("nrm")))
-                    .alias("cos_sim")))
-    wr = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
-                                                F.col("cand_id").asc())
-    return (sims.withColumn("rank", F.row_number().over(wr))
-            .filter(F.col("rank") <= TOP_K)
-            .select("query_id", "rank", "cand_id", "cell", "cos_sim")
-            .orderBy("query_id", "rank"))
+    probes = _ivf_probes(cent, q, nprobe)
+    return _ivf_exact_topk(probes, assigned, TOP_K)
 
 
 _COS_SQL = ("FLOOR((list_sum(list_transform(range(1, length({a}) + 1), "
@@ -393,23 +420,22 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment for a training-data pipeline): every vector with its
     nearest trained cell and the r6-quantized assignment cosine, plus
     the resulting cluster size.  One broadcast codebook join + one
-    cell-keyed window — linear at any corpus size."""
+    cell-keyed window — linear at any corpus size.  Production serves
+    from the persisted artifact instead (:func:`build_semantic_index` /
+    :func:`kmeans_from_index`)."""
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     emb = emb.withColumn("nrm", _norm(F.col("v")))
     cent = _kmeans_codebook(emb)
-    sim = (emb.crossJoin(F.broadcast(cent))
-           .select("vec_id", "cell",
-                   _r6(_cosine(F.col("v"), F.col("cv"),
-                               F.col("nrm"), F.col("cn"))).alias("acos")))
-    wa = Window.partitionBy("vec_id").orderBy(F.col("acos").desc(),
-                                              F.col("cell").asc())
-    assigned = (sim.withColumn("rn", F.row_number().over(wa))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", "cell", F.col("acos").alias("cos_sim")))
+    return _kmeans_clusters(_assign_cells(emb, cent))
+
+
+def _kmeans_clusters(assigned: DataFrame) -> DataFrame:
+    """Cluster-summary stage shared by the inline query and the
+    index-serving path: assignment cosine + resulting cluster size."""
     wc = Window.partitionBy("cell")
     return (assigned.select(
-        "vec_id", "cell", "cos_sim",
+        "vec_id", "cell", F.col("acos").alias("cos_sim"),
         F.count(F.lit(1)).over(wc).alias("cluster_size"))
         .orderBy("vec_id"))
 
@@ -1410,20 +1436,21 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str,
     ``k`` is the scaling knob: total cost = N*k (assignment) + N^2/k
     (within-cell pairs), balanced at k ~ sqrt(N) -> O(N^1.5) overall
     (measured at 10x in BENCH/OPERATORS.md; the catalog entry pins
-    k=KMEANS_K for the oracle twin)."""
+    k=KMEANS_K for the oracle twin).  Production serves from the
+    persisted artifact instead (:func:`build_semantic_index` /
+    :func:`dedup_semantic_from_index`)."""
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     emb = emb.withColumn("nrm", _norm(F.col("v")))   # once per vector
     cent = _kmeans_codebook(emb, k=k)
-    sim = (emb.crossJoin(F.broadcast(cent))
-           .select("vec_id", "v", "nrm", "cell",
-                   _r6(_cosine(F.col("v"), F.col("cv"),
-                               F.col("nrm"), F.col("cn"))).alias("acos")))
-    wa = Window.partitionBy("vec_id").orderBy(F.col("acos").desc(),
-                                              F.col("cell").asc())
-    assigned = (sim.withColumn("rn", F.row_number().over(wa))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", "v", "nrm", "cell"))
+    return _semantic_flags(_assign_cells(emb, cent))
+
+
+def _semantic_flags(assigned: DataFrame) -> DataFrame:
+    """SemDeDup pair stage shared by the inline query and the
+    index-serving path: ONE cell-keyed self-join, greedy keep-lowest-id
+    flags; the drop set stays un-broadcast (corpus-proportional on
+    redundant corpora — VERDICT r3 item 2)."""
     a = assigned.select(F.col("vec_id").alias("vec_a"), "cell",
                         F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = assigned.select(F.col("vec_id").alias("vec_b"), "cell",
@@ -1506,20 +1533,19 @@ def q_knn_graph(spark: SparkSession, sf_dir: str,
     cells at a target size; never a corpus cross join.  An
     IVF-multiprobe variant would lift the same-cell edge restriction
     at NPROBE x the scan cost.  ``k`` is the same N*k + N^2/k scaling
-    knob as ``dedup_semantic`` (balanced at k ~ sqrt(N))."""
+    knob as ``dedup_semantic`` (balanced at k ~ sqrt(N)).  Production
+    serves from the persisted artifact instead
+    (:func:`build_semantic_index` / :func:`knn_graph_from_index`)."""
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     emb = emb.withColumn("nrm", _norm(F.col("v")))   # once per vector
     cent = _kmeans_codebook(emb, k=k)
-    sim = (emb.crossJoin(F.broadcast(cent))
-           .select("vec_id", "v", "nrm", "cell",
-                   _r6(_cosine(F.col("v"), F.col("cv"),
-                               F.col("nrm"), F.col("cn"))).alias("acos")))
-    wa = Window.partitionBy("vec_id").orderBy(F.col("acos").desc(),
-                                              F.col("cell").asc())
-    assigned = (sim.withColumn("rn", F.row_number().over(wa))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", "v", "nrm", "cell"))
+    return _knn_edges(_assign_cells(emb, cent))
+
+
+def _knn_edges(assigned: DataFrame) -> DataFrame:
+    """k-NN edge stage shared by the inline query and the index-serving
+    path: one cell-keyed self-join + one vec-keyed rank window."""
     a = assigned.select("vec_id", "cell",
                         F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = assigned.select(F.col("vec_id").alias("neighbor_id"), "cell",
@@ -1567,6 +1593,103 @@ SELECT vec_id, rank, neighbor_id, cell, cos_sim
 FROM ranked WHERE rank <= {KNN_K}
 ORDER BY vec_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# persisted semantic index: train the coarse quantizer ONCE, serve many
+# ---------------------------------------------------------------------------
+
+
+def build_semantic_index(emb: DataFrame, index_dir: str,
+                         k: int = KMEANS_K) -> None:
+    """Persist the trained k-means coarse quantizer and the
+    cell-partitioned corpus assignments — the "train once, serve many"
+    production shape for the whole coarse-quantizer family (VERDICT r4
+    item 1: the inline ``dedup_semantic`` / ``knn_graph`` /
+    ``embedding_kmeans`` / ``ann_ivf_topk`` queries retrain the Lloyd
+    codebook per call; a real corpus trains once and every consumer
+    reads the artifact).  The layout mirrors :func:`build_pq_index`:
+
+    - ``cells/`` — trained centroids ``(cell, cv, cn)`` —
+      O(cells x dim), always broadcastable;
+    - ``asgn/``  — the assigned corpus ``(vec_id, v, nrm, acos)``
+      parquet PARTITIONED BY cell: each cell's inverted list is its own
+      directory (FAISS ``IndexIVFFlat`` shape — full vectors live in
+      the lists, so cell-local consumers never re-join the corpus), and
+      a probe of NPROBE cells is a partition-PRUNED scan.
+
+    ``emb`` must carry ``(vec_id, v: array<double>)``.  Consumers:
+    :func:`dedup_semantic_from_index`, :func:`knn_graph_from_index`,
+    :func:`kmeans_from_index`, :func:`ann_ivf_from_index` — each
+    bit-identical to its inline twin on the same corpus (tested), with
+    the Lloyd iterations and the assignment scan paid once here."""
+    emb = (emb.select("vec_id", "v")
+           .withColumn("nrm", _norm(F.col("v"))))
+    cent = _kmeans_codebook(emb, k=k)
+    cent.write.mode("overwrite").parquet(f"{index_dir}/cells")
+    (_assign_cells(emb, cent)
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{index_dir}/asgn"))
+
+
+def _read_semantic_index(spark: SparkSession,
+                         index_dir: str) -> "tuple[DataFrame, DataFrame]":
+    """(codebook, assigned-corpus) from a :func:`build_semantic_index`
+    store.  The partition column comes back as parquet-directory
+    metadata — cast to the codebook's long so downstream joins and
+    output schemas match the inline queries exactly."""
+    cent = spark.read.parquet(f"{index_dir}/cells")
+    asgn = (spark.read.parquet(f"{index_dir}/asgn")
+            .withColumn("cell", F.col("cell").cast("long"))
+            .select("vec_id", "v", "nrm", "acos", "cell"))
+    return cent, asgn
+
+
+def dedup_semantic_from_index(spark: SparkSession,
+                              index_dir: str) -> DataFrame:
+    """SemDeDup served from the persisted index: the Lloyd training and
+    the corpus assignment are already paid — what remains is exactly
+    the cell-keyed pair stage.  Bit-identical to ``q_dedup_semantic``
+    on the same corpus (tested)."""
+    _, asgn = _read_semantic_index(spark, index_dir)
+    return _semantic_flags(asgn)
+
+
+def knn_graph_from_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Corpus k-NN graph served from the persisted index (cell-local
+    edges; the self-join reads each cell's directory).  Bit-identical
+    to ``q_knn_graph`` on the same corpus (tested)."""
+    _, asgn = _read_semantic_index(spark, index_dir)
+    return _knn_edges(asgn)
+
+
+def kmeans_from_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Cluster summary served from the persisted index — a pure
+    metadata pass over ``asgn/`` (no codebook math at all).
+    Bit-identical to ``q_embedding_kmeans`` on the same corpus
+    (tested)."""
+    _, asgn = _read_semantic_index(spark, index_dir)
+    return _kmeans_clusters(asgn)
+
+
+def ann_ivf_from_index(spark: SparkSession, index_dir: str,
+                       queries: DataFrame, top_k: int = TOP_K,
+                       nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF ANN served from the persisted index: probe selection is a
+    query x codebook broadcast, and the inverted-list scan prunes to
+    the probed cells' DIRECTORIES (``cell IN (...)`` reaches the
+    parquet source as a partition filter — asserted in the plan test).
+    ``queries`` carries ``(vec_id, v)``.  Bit-identical to
+    ``q_ann_ivf_topk`` on the same corpus (tested)."""
+    cent, asgn = _read_semantic_index(spark, index_dir)
+    q = (queries.withColumn("qn", _norm(F.col("v")))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("v").alias("qv"), "qn"))
+    probes = _ivf_probes(cent, q, nprobe)
+    probed_cells = [r["cell"] for r in
+                    probes.select("cell").distinct().collect()]
+    pruned = asgn.filter(F.col("cell").isin(probed_cells))
+    return _ivf_exact_topk(F.broadcast(probes), pruned, top_k)
 
 
 # ---------------------------------------------------------------------------

@@ -1964,3 +1964,47 @@ def test_edit_distance_matches_python_dp(spark):
         sim = math.floor((1.0 - d / max(len(a), len(b))) * 1e6 + 0.5) / 1e6
         assert r["edit_sim"] == sim
         assert r["is_dup"] == int(sim >= EDIT_SIM_TAU)
+
+
+def test_semantic_index_serving_matches_inline(spark, tmp_path):
+    """The persisted coarse-quantizer index (build_semantic_index) must
+    serve EXACTLY what each inline retrain-per-call query computes on
+    the same corpus — training is deterministic — for all four
+    consumers, and the IVF probe must prune the asgn scan to the probed
+    cells' partition directories."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        IVF_N_QUERIES, ann_ivf_from_index, build_semantic_index,
+        dedup_semantic_from_index, kmeans_from_index, knn_graph_from_index,
+        q_ann_ivf_topk, q_dedup_semantic, q_embedding_kmeans, q_knn_graph,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = (spark.read.parquet(f"{sf}/embeddings.parquet")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v")))
+    idx = str(tmp_path / "semantic_index")
+    build_semantic_index(emb, idx)
+
+    for served, inline in [
+        (dedup_semantic_from_index(spark, idx), q_dedup_semantic(spark, sf)),
+        (knn_graph_from_index(spark, idx), q_knn_graph(spark, sf)),
+        (kmeans_from_index(spark, idx), q_embedding_kmeans(spark, sf)),
+        (ann_ivf_from_index(
+            spark, idx, emb.filter(F.col("vec_id") < IVF_N_QUERIES)),
+         q_ann_ivf_topk(spark, sf)),
+    ]:
+        sp = served.toPandas().reset_index(drop=True)
+        ip = inline.toPandas().reset_index(drop=True)
+        assert sp.equals(ip), (list(sp.columns), sp.head(), ip.head())
+
+    # partition pruning: the probed-cell predicate reaches the asgn scan
+    # as a PARTITION filter (directory-level pruning), not a data filter
+    served = ann_ivf_from_index(
+        spark, idx, emb.filter(F.col("vec_id") < IVF_N_QUERIES))
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN", plan, re.S)
+    assert m is not None, plan[:3000]
