@@ -258,6 +258,8 @@ def prepare_corpus(spark: SparkSession, docs: DataFrame, output_dir: str,
                    min_quality: float = MIN_QUALITY,
                    near_dup: bool = True,
                    chunk_dedup: bool = False,
+                   decontaminate: bool = False,
+                   benchmark: DataFrame | None = None,
                    dsir_frac: float | None = None,
                    dsir_target_sources: tuple[str, ...] | None = None,
                    seq_len: int = SEQ_LEN) -> dict:
@@ -273,6 +275,15 @@ def prepare_corpus(spark: SparkSession, docs: DataFrame, output_dir: str,
     set — cleaning against already-dropped near-dups would delete text
     whose first instance no longer exists), token counts re-derived
     from the cleaned text, and docs cleaned down to nothing dropped.
+
+    ``decontaminate=True`` inserts benchmark decontamination after
+    chunk cleaning (the GPT-3 appendix recipe: gate -> chunk-clean ->
+    decontaminate -> DSIR -> PII -> pack): training docs sharing any
+    distinct word 8-gram with the eval benchmark are DROPPED, and the
+    benchmark docs themselves (``source == BENCHMARK_SOURCE``, or the
+    explicit ``benchmark`` frame) never reach the training output.
+    Collisions are scored on the text the model would actually train on
+    (post chunk-clean).
 
     ``dsir_frac=0.x`` inserts DSIR domain-targeted selection after
     gating (and after chunk cleaning, so weights score the FINAL text):
@@ -324,9 +335,32 @@ def prepare_corpus(spark: SparkSession, docs: DataFrame, output_dir: str,
                            F.size(F.split("clean_text", r"\s+"))
                            .cast("bigint").alias("n_tokens")))
         n_gated = kept.count()
+        # truncate lineage between selective stages: every stage after
+        # this one (and the final write) would otherwise RE-EXECUTE the
+        # whole upstream chain — gate + chunk shingle joins — once per
+        # downstream action; measured 121 s -> 37 s on the full
+        # gate->chunk->decontaminate->DSIR recipe at sf0.1
+        # (BENCH/pipeline.json).  prepare_corpus_resumable uses durable
+        # staging parquet for the same cut at restart-safety grade.
         kept = (kept.drop("text", "n_tokens")
-                .join(cleaned, "doc_id"))
+                .join(cleaned, "doc_id")
+                .localCheckpoint(eager=True))
         stages.append(("chunk_clean", n_gated, int(kept.count()),
+                       0, time.time() - ts))
+        ts = time.time()
+    if decontaminate:
+        from atr_adaptive_laguerre_spark.operators.curation import (
+            BENCHMARK_SOURCE, decontaminate_frame,
+        )
+
+        n_pre = kept.count()
+        bench = (benchmark if benchmark is not None
+                 else docs.filter(F.col("source") == BENCHMARK_SOURCE))
+        # the eval suite itself is never training data
+        kept = kept.filter(F.col("source") != BENCHMARK_SOURCE) \
+            if benchmark is None else kept
+        kept = decontaminate_frame(kept, bench).localCheckpoint(eager=True)
+        stages.append(("decontaminate", n_pre, int(kept.count()),
                        0, time.time() - ts))
         ts = time.time()
     if dsir_frac is not None:
@@ -356,7 +390,8 @@ def prepare_corpus(spark: SparkSession, docs: DataFrame, output_dir: str,
         keep_ids = (scored.crossJoin(F.broadcast(thr))
                     .filter(F.col("aq4") >= F.col("dsir_thr"))
                     .select("doc_id"))
-        kept = kept.join(keep_ids, "doc_id")  # id-keyed; AQE sizes it
+        kept = (kept.join(keep_ids, "doc_id")  # id-keyed; AQE sizes it
+                .localCheckpoint(eager=True))
         stages.append(("dsir_select", n_pre, int(kept.count()),
                        0, time.time() - ts))
         ts = time.time()

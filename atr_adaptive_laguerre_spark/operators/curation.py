@@ -681,6 +681,34 @@ ORDER BY t.doc_id
 """
 
 
+def decontaminate_frame(train: DataFrame, bench: DataFrame,
+                        min_hits: int = CONTAM_DROP_MIN) -> DataFrame:
+    """Frame-level decontamination for pipeline composition (the
+    removal twin of :func:`q_decontaminate`, which also reports the
+    audit columns): drop from ``train`` every doc sharing >=
+    ``min_hits`` distinct word ``CONTAM_NGRAM``-grams with any ``bench``
+    doc.  Both frames need a ``text`` column; ``train`` needs
+    ``doc_id``.
+
+    Scale shape — identical to the catalog query: the benchmark's
+    distinct-shingle set is eval-suite-sized (corpus-independent), the
+    training side is one linear explode + one shingle-keyed equi-join +
+    one doc_id groupBy, and the final removal is an id-keyed anti-join
+    (the contaminated-id set is audit-sized, no broadcast hint — AQE
+    broadcasts it when small).  No corpus self-join anywhere."""
+    from atr_adaptive_laguerre_spark.operators.dedup import shingles_col
+
+    sh = shingles_col(CONTAM_NGRAM)
+    bench_sh = bench.select(F.explode(sh).alias("s")).distinct()
+    contaminated = (train.select("doc_id", F.explode(sh).alias("s"))
+                    .join(bench_sh, "s")
+                    .groupBy("doc_id")
+                    .agg(F.count_distinct("s").alias("n_hits"))
+                    .filter(F.col("n_hits") >= min_hits)
+                    .select("doc_id"))
+    return train.join(contaminated, "doc_id", "left_anti")
+
+
 def q_corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture weights per source domain — the sampling-weight
     computation of a multi-domain training mix (the XLM/LLaMA idiom):

@@ -743,6 +743,112 @@ ORDER BY doc_id
 """
 
 
+#: merge rounds pinned for the oracle-gated trainer catalog query
+BPE_TRAIN_ROUNDS = 6
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str,
+                       n_merges: int = BPE_TRAIN_ROUNDS) -> DataFrame:
+    """BPE TRAINING as an oracle-gated catalog query (the iterative
+    Sennrich et al. 2016 alg. 1 loop that :func:`bpe_train` runs on
+    symbol arrays, re-expressed over the ``<sym>``-wrapped STRING
+    representation so DuckDB can replay it exactly): per merge round,
+    count adjacent-symbol pairs over the (distinct-word, frequency)
+    vocabulary, pick the most frequent (ties by the wrapped pair string
+    — a total order even when two different splits concatenate to the
+    same text, e.g. ``<ab><c>`` vs ``<a><bc>``), fuse it everywhere
+    with ONE leftmost-nonoverlapping ``replace`` (BPE's merge-apply
+    semantics in both engines — the :func:`bpe_encode_col` contract),
+    and repeat on the rewritten vocabulary.  Output: one row per round
+    — rank, the learned pair (wrapped), the fused symbol, and its count
+    at selection time.
+
+    Collect-free: each round's argmax is a 1-row broadcast frame feeding
+    the next round's ``replace`` (same driver-holds-nothing shape as the
+    IVF Lloyd loop); ``localCheckpoint`` truncates the per-round plan.
+    Scale shape: the corpus collapses to the vocabulary ONCE (the only
+    corpus-scale shuffle); each round is a vocab-linear pair explode +
+    one pair-keyed aggregate over an O(symbols²)-bounded key space + a
+    vocab-linear codegen rewrite.  Assumes no literal ``<``/``>`` in
+    the corpus (bpe_encode_col's documented contract)."""
+    from functools import reduce
+
+    docs = _docs(spark, sf_dir)
+    wc = (docs.select(F.explode(words_col()).alias("w"))
+          .filter(F.length("w") >= 1)
+          .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    sym = (wc.select("c", F.regexp_replace("w", "(.)", "<$1>").alias("s"))
+           .localCheckpoint(eager=True))
+    rounds = []
+    for r in range(1, n_merges + 1):
+        sy = sym.select(
+            "c", F.expr("regexp_extract_all(s, '<[^>]*>', 0)").alias("sy"))
+        prs = sy.select("c", F.explode(F.expr(
+            # sequence(1, 0) DESCENDS in Spark — guard 1-symbol words
+            "IF(size(sy) < 2, cast(array() as array<string>), "
+            "transform(sequence(1, size(sy) - 1), "
+            "i -> concat(sy[i - 1], sy[i])))")).alias("pair"))
+        best = (prs.groupBy("pair").agg(F.sum("c").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+                .limit(1)
+                .select(F.lit(r).cast("bigint").alias("rank"), "pair",
+                        F.replace(F.col("pair"), F.lit("><"), F.lit(""))
+                        .alias("merged"),
+                        F.col("cnt").cast("bigint").alias("cnt"))
+                .localCheckpoint(eager=True))
+        rounds.append(best)
+        sym = (sym.crossJoin(F.broadcast(best.select("pair", "merged")))
+               .select("c", F.replace(F.col("s"), F.col("pair"),
+                                      F.col("merged")).alias("s"))
+               .localCheckpoint(eager=True))
+    return (reduce(lambda a, b: a.unionByName(b), rounds)
+            .orderBy("rank"))
+
+
+def _bpe_train_ctes(n: int = BPE_TRAIN_ROUNDS) -> str:
+    """Unrolled merge rounds (twin of :func:`q_bpe_train_merges`):
+    round r counts wrapped adjacent pairs over s{r-1}, b{r} is the
+    argmax (ties by pair string), s{r} applies it with DuckDB's
+    leftmost-nonoverlapping ``replace`` — the same semantics Spark's
+    ``replace`` has, which is what makes the learned sequence
+    bit-identical."""
+    parts = ["""wc AS (
+  SELECT w, COUNT(*)::BIGINT AS c FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+    FROM documents
+  ) WHERE length(w) >= 1
+  GROUP BY w
+), s0 AS (
+  SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS s, c FROM wc
+)"""]
+    for r in range(1, n + 1):
+        parts.append(f"""p{r} AS (
+  SELECT pr AS pair, SUM(c)::BIGINT AS cnt FROM (
+    SELECT c, unnest(list_transform(range(1, len(sy)),
+                                    i -> sy[i] || sy[i + 1])) AS pr
+    FROM (SELECT c, regexp_extract_all(s, '<[^>]*>') AS sy FROM s{r - 1})
+  ) GROUP BY pr
+), b{r} AS (
+  SELECT {r}::BIGINT AS rank, pair, replace(pair, '><', '') AS merged, cnt
+  FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1
+), s{r} AS (
+  SELECT replace(s, (SELECT pair FROM b{r}), (SELECT merged FROM b{r})) AS s,
+         c
+  FROM s{r - 1}
+)""")
+    return ",\n".join(parts)
+
+
+ORACLE_BPE_TRAIN_MERGES = f"""
+WITH {_bpe_train_ctes()}
+SELECT rank, pair, merged, cnt FROM (
+  {" UNION ALL ".join(f"SELECT * FROM b{r}"
+                      for r in range(1, BPE_TRAIN_ROUNDS + 1))}
+)
+ORDER BY rank
+"""
+
+
 #: PII patterns — written to behave identically under Java regex
 #: (Spark) and RE2 (DuckDB): no ambiguous alternations/quantifiers
 #: where backtracking (leftmost-greedy) and leftmost-longest could
@@ -1147,6 +1253,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "bpe_pair_stats": q_bpe_pair_stats,
     "bpe_encode": q_bpe_encode,
+    "bpe_train_merges": q_bpe_train_merges,
     "bm25_search": q_bm25_search,
 }
 
@@ -1164,4 +1271,5 @@ ORACLES = {
     "pii_scrub": ORACLE_PII_SCRUB,
     "bpe_pair_stats": ORACLE_BPE_PAIR_STATS,
     "bpe_encode": ORACLE_BPE_ENCODE,
+    "bpe_train_merges": ORACLE_BPE_TRAIN_MERGES,
 }

@@ -211,3 +211,46 @@ def test_dsir_stage_selects_target_domain(spark, tmp_path):
     assert ds.iloc[0]["n_docs_in"] == 12
     assert ds.iloc[0]["n_docs_out"] == 6
     assert "dsir_select" in summary["stages"]
+
+
+def test_decontaminate_stage_drops_benchmark_overlap(spark, tmp_path):
+    """prepare_corpus(decontaminate=True) removes the training doc that
+    shares an 8-gram with the planted benchmark doc, removes the
+    benchmark docs themselves from the training output, keeps the clean
+    doc, and records a decontaminate lineage stage."""
+    from atr_adaptive_laguerre_spark.engine.corpus_job import (
+        prepare_corpus,
+    )
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        BENCHMARK_SOURCE,
+    )
+
+    leak = " ".join(f"leak{i}" for i in range(8))      # the shared 8-gram
+    bench_text = leak + " " + " ".join(f"b{i}" for i in range(40))
+    contaminated = (" ".join(f"c{i}" for i in range(20))
+                    + " " + leak + " "
+                    + " ".join(f"d{i}" for i in range(20)))
+    clean = " ".join(f"e{i}" for i in range(48))
+    rows = [
+        (1, bench_text, "en", BENCHMARK_SOURCE, 0),
+        (2, contaminated, "en", "src1", 0),
+        (3, clean, "en", "src1", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars int")
+    out_dir = str(tmp_path / "out")
+    summary = prepare_corpus(
+        spark, docs, out_dir, manifest_dir=str(tmp_path / "m"),
+        run_id="dcrun", min_tokens=10, min_quality=0.0,
+        near_dup=False, decontaminate=True)
+    out = spark.read.parquet(out_dir).toPandas()
+    assert sorted(out["doc_id"]) == [3]
+    assert summary["n_docs_out"] == 1
+    stages = (spark.read.parquet(str(tmp_path / "m" / "stages"))
+              .toPandas())
+    dc = stages[stages["stage"] == "decontaminate"]
+    assert len(dc) == 1
+    assert dc.iloc[0]["n_docs_in"] == 3
+    assert dc.iloc[0]["n_docs_out"] == 1
+    assert "decontaminate" in summary["stages"]

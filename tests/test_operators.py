@@ -2008,3 +2008,55 @@ def test_semantic_index_serving_matches_inline(spark, tmp_path):
     plan = served._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN", plan, re.S)
     assert m is not None, plan[:3000]
+
+
+def test_bpe_train_merges_query_matches_python(spark):
+    """The oracle-gated trainer query must learn the exact (pair,
+    merged, count) sequence of a pure-python Sennrich trainer using the
+    same wrapped-string tie-break and the same leftmost-nonoverlapping
+    merge application."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from atr_adaptive_laguerre_spark.operators.text import (
+        BPE_TRAIN_ROUNDS, q_bpe_train_merges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_bpe_train_merges(spark, sf).toPandas()
+    assert list(out["rank"]) == list(range(1, BPE_TRAIN_ROUNDS + 1))
+
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    vocab: dict = {}
+    for t in docs["text"]:
+        for w in t.strip().lower().split():
+            if w:
+                k = tuple(w)
+                vocab[k] = vocab.get(k, 0) + 1
+    expected = []
+    for _ in range(BPE_TRAIN_ROUNDS):
+        pc: Counter = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        (a, b), cnt = min(pc.items(),
+                          key=lambda kv: (-kv[1], f"<{kv[0][0]}><{kv[0][1]}>"))
+        expected.append((f"<{a}><{b}>", f"<{a}{b}>", cnt))
+        new: dict = {}
+        for syms, c in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            k = tuple(merged)
+            new[k] = new.get(k, 0) + c
+        vocab = new
+    got = [(r["pair"], r["merged"], int(r["cnt"]))
+           for _, r in out.sort_values("rank").iterrows()]
+    assert got == expected, (got, expected)

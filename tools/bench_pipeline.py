@@ -34,7 +34,8 @@ SF1 = os.path.join(REPO, ".testdata_sf1")
 
 
 def _run(spark, docs_path: str, tag: str, work: str,
-         dsir_frac: "float | None" = None) -> dict:
+         dsir_frac: "float | None" = None,
+         decontaminate: bool = False) -> dict:
     from pyspark.sql import functions as F
 
     from atr_adaptive_laguerre_spark.engine.corpus_job import prepare_corpus
@@ -48,6 +49,7 @@ def _run(spark, docs_path: str, tag: str, work: str,
     t0 = time.perf_counter()
     summary = prepare_corpus(spark, docs, out, manifest_dir=man,
                              run_id=f"bench-{tag}", chunk_dedup=True,
+                             decontaminate=decontaminate,
                              dsir_frac=dsir_frac)
     wall = time.perf_counter() - t0
     stages = [
@@ -78,7 +80,9 @@ def main() -> None:
     try:
         runs = [_run(spark, f"{SF01}/documents.parquet", "sf0.1", work),
                 _run(spark, f"{SF01}/documents.parquet", "sf0.1_dsir",
-                     work, dsir_frac=0.5)]
+                     work, dsir_frac=0.5),
+                _run(spark, f"{SF01}/documents.parquet", "sf0.1_full",
+                     work, dsir_frac=0.5, decontaminate=True)]
         sf1_docs = f"{SF1}/documents.parquet"
         if not args.no_sf1 and os.path.exists(sf1_docs):
             runs.append(_run(spark, sf1_docs, "sf1_10x", work))

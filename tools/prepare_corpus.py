@@ -44,6 +44,11 @@ def main() -> None:
                     help="RefinedWeb-style sub-document pass: remove "
                          "globally-duplicated fixed-width chunks from "
                          "kept docs")
+    ap.add_argument("--decontaminate", action="store_true",
+                    help="drop training docs sharing any distinct word "
+                         "8-gram with the eval benchmark (source == "
+                         "BENCHMARK_SOURCE), and exclude the benchmark "
+                         "docs from the training output")
     ap.add_argument("--dsir-frac", type=float, default=None,
                     help="DSIR domain-targeted selection: keep this top "
                          "fraction of gated docs by hashed-ngram "
@@ -67,7 +72,8 @@ def main() -> None:
         spark, docs, args.output, manifest_dir=args.manifest,
         run_id=args.run_id, min_tokens=args.min_tokens,
         min_quality=args.min_quality, near_dup=not args.no_near_dup,
-        chunk_dedup=args.chunk_dedup, dsir_frac=args.dsir_frac,
+        chunk_dedup=args.chunk_dedup, decontaminate=args.decontaminate,
+        dsir_frac=args.dsir_frac,
         dsir_target_sources=(tuple(args.dsir_sources.split(","))
                              if args.dsir_sources else None),
         seq_len=args.seq_len)
