@@ -828,7 +828,8 @@ def chunk_texts_col(width: int = CHUNK_W):
         F.array().cast("array<string>"))
 
 
-def chunk_clean_frame(docs: DataFrame, width: int = CHUNK_W) -> DataFrame:
+def chunk_clean_frame(docs: DataFrame, width: int = CHUNK_W,
+                      seen: "DataFrame | None" = None) -> DataFrame:
     """The TRANSFORMATION half of cross-document chunk dedup: emit each
     document with duplicated chunks physically removed, not just
     counted.  An instance (doc, position) of a chunk survives iff it is
@@ -836,6 +837,16 @@ def chunk_clean_frame(docs: DataFrame, width: int = CHUNK_W) -> DataFrame:
     position) — the CCNet-style keep-first rule, which also collapses
     within-doc repeats.  The trailing ``len % width`` words are not a
     comparable unit and are always kept.
+
+    ``seen`` (optional, a ``chash`` column of already-indexed chunk
+    hashes) is the streaming hook: an instance whose hash is in
+    ``seen`` is removed regardless of position — the persisted index
+    plays the role of the global window's earlier rows, which is what
+    makes the streamed micro-batches' union column-identical to one
+    batch call over the concatenated corpus
+    (:func:`atr_adaptive_laguerre_spark.streaming.dedup.stream_chunk_clean`,
+    parity-tested).  The join is chash-keyed (one shuffle) — never a
+    broadcast mandate; the index is corpus-scale.
 
     Returns ``(doc_id, n_chunks, n_kept, clean_text)`` — the full
     cleaned text, for the corpus pipeline; :func:`chunk_clean` narrows
@@ -849,19 +860,26 @@ def chunk_clean_frame(docs: DataFrame, width: int = CHUNK_W) -> DataFrame:
                        chunk_texts_col(width).alias("chs"))
     inst = (base.select("doc_id", F.posexplode("chs").alias("p", "chunk"))
             .withColumn("chash", F.md5("chunk")))
+    if seen is not None:
+        seen_m = (seen.select("chash").distinct()
+                  .withColumn("_idx", F.lit(1)))
+        inst = inst.join(seen_m, "chash", "left")
+    else:
+        inst = inst.withColumn("_idx", F.lit(None).cast("int"))
     wk = Window.partitionBy("chash").orderBy("doc_id", "p")
     marked = inst.withColumn("rn", F.row_number().over(wk))
+    keep = (F.col("rn") == 1) & F.col("_idx").isNull()
     # ONE doc_id groupBy carries counts AND the kept-chunk body (nulls
     # from the `when` drop out of collect_list), so the explode+window
     # pipeline — the dominant cost — executes once, not per branch
     per_doc = marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
-        F.sum((F.col("rn") == 1).cast("int")).alias("n_kept"),
+        F.sum(keep.cast("int")).alias("n_kept"),
         F.concat_ws(
             " ",
             F.transform(
                 F.array_sort(F.collect_list(
-                    F.when(F.col("rn") == 1, F.struct("p", "chunk")))),
+                    F.when(keep, F.struct("p", "chunk")))),
                 lambda s: s.chunk)).alias("body"))
     n_full = F.floor(F.size("wrds") / width).cast("int")
     tail = F.concat_ws(
@@ -877,6 +895,25 @@ def chunk_clean_frame(docs: DataFrame, width: int = CHUNK_W) -> DataFrame:
         F.coalesce("n_chunks", F.lit(0)).cast("bigint").alias("n_chunks"),
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         clean.alias("clean_text"))
+
+
+def chunk_new_hashes(docs: DataFrame, width: int = CHUNK_W,
+                     seen: "DataFrame | None" = None) -> DataFrame:
+    """DISTINCT chunk hashes newly introduced by ``docs`` — hashes of
+    this frame's chunks minus what the ``seen`` index already carries:
+    the index INCREMENT a streaming chunk-dedup batch commits after it
+    cleans (every batch chash is either already indexed or represented
+    by its kept first instance, so recording these is sufficient for
+    later batches to suppress any re-appearance).  One linear explode +
+    one distinct + one chash-keyed anti-join."""
+    inst = (docs.select("doc_id", chunk_texts_col(width).alias("chs"))
+            .select(F.explode("chs").alias("chunk"))
+            .select(F.md5("chunk").alias("chash"))
+            .distinct())
+    if seen is not None:
+        inst = inst.join(seen.select("chash").distinct(),
+                         "chash", "left_anti")
+    return inst
 
 
 def chunk_clean(docs: DataFrame, width: int = CHUNK_W) -> DataFrame:

@@ -155,3 +155,68 @@ def stream_dsir_select(spark: SparkSession, input_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def stream_chunk_clean(spark: SparkSession, input_dir: str,
+                       index_dir: str, output_dir: str,
+                       checkpoint_dir: str, width: int | None = None) -> None:
+    """Streaming CHUNK-level dedup against a persisted chunk-hash index
+    — the sub-document twin of :func:`stream_incremental_neardup`
+    (doc-grain covers crawl re-posts; this catches boilerplate and
+    quoted passages re-appearing INSIDE otherwise-new documents): each
+    micro-batch is chunk-cleaned with the same keep-first rule as the
+    batch ``chunk_clean_frame``, except a chunk whose hash is already
+    in the index (seen in any earlier batch) is removed regardless of
+    position, and the batch's NEW first-instance hashes commit to the
+    index as ``batch=<id>`` — so later batches cannot re-introduce text
+    any earlier batch already carries.
+
+    Parity: when doc_ids are globally ordered by arrival (batch k's ids
+    below batch k+1's — the crawl-increment invariant), the union of
+    the streamed batches' outputs is COLUMN-IDENTICAL
+    (doc_id, n_chunks, n_kept, clean_text) to ONE batch
+    ``chunk_clean_frame`` over the concatenated corpus (tested): the
+    index plays the role of the global keep-first window's earlier
+    rows.
+
+    Idempotence: output and index writes OVERWRITE their own
+    ``batch=<id>`` directory, and the seen-set read EXCLUDES the
+    current batch id — a micro-batch retried after a mid-write crash
+    recomputes the same result instead of suppressing its own
+    half-committed hashes.
+
+    At scale: per micro-batch, one linear explode + ONE chash-keyed
+    join against the index (shuffle on the hash key; the index side is
+    never collected or broadcast-mandated) + the batch operator's
+    window/groupBy — no corpus self-join, state lives entirely in the
+    partitioned parquet index."""
+    from pyspark.errors import AnalysisException
+
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        CHUNK_W, chunk_clean_frame, chunk_new_hashes,
+    )
+
+    w = CHUNK_W if width is None else width
+
+    def process(batch, batch_id: int) -> None:
+        sp = batch.sparkSession
+        try:
+            seen = (sp.read.parquet(index_dir)
+                    .filter(F.col("batch").cast("string")
+                            != str(batch_id))
+                    .select("chash"))
+        except AnalysisException:
+            seen = sp.createDataFrame([], "chash string")
+        chunk_clean_frame(batch, width=w, seen=seen) \
+            .write.mode("overwrite").parquet(
+                f"{output_dir}/batch={batch_id}")
+        chunk_new_hashes(batch, width=w, seen=seen) \
+            .write.mode("overwrite").parquet(
+                f"{index_dir}/batch={batch_id}")
+
+    sdf = spark.readStream.schema(DOC_SCHEMA).parquet(input_dir)
+    q = (sdf.writeStream.foreachBatch(process)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -785,3 +785,65 @@ def test_stream_dsir_select_matches_batch(spark, tmp_path):
                        min_micro_per_gram=0)
     assert sorted(spark.read.parquet(out_dir).toPandas()["doc_id"]) \
         == [100]
+
+
+def test_stream_chunk_clean_matches_batch(spark, tmp_path):
+    """Streaming chunk dedup vs the batch operator: streaming the
+    corpus in two doc_id-ordered micro-batches through the persisted
+    chunk-hash index yields EXACTLY the frame one batch
+    chunk_clean_frame produces over the concatenated corpus — including
+    a batch-2 doc whose chunk first appeared in batch 1.  A re-run on
+    the same checkpoint with no new input is a no-op."""
+    from pyspark.sql import functions as F
+
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        CHUNK_W, chunk_clean_frame,
+    )
+    from atr_adaptive_laguerre_spark.streaming.dedup import (
+        stream_chunk_clean,
+    )
+
+    boiler = " ".join(f"w{i}" for i in range(CHUNK_W))   # shared chunk
+    rows_b1 = [
+        (1, boiler + " tail one alpha"),
+        (2, " ".join(f"u{i}" for i in range(CHUNK_W)) + " " + boiler),
+    ]
+    rows_b2 = [
+        (3, boiler + " " + " ".join(f"v{i}" for i in range(CHUNK_W))),
+        (4, " ".join(f"x{i}" for i in range(CHUNK_W + 5))),
+    ]
+    schema = "doc_id long, text string"
+    input_dir = str(tmp_path / "in")
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(rows_b1, schema).coalesce(1) \
+        .write.mode("append").parquet(input_dir)
+    stream_chunk_clean(spark, input_dir, index_dir, out_dir, ckpt)
+    spark.createDataFrame(rows_b2, schema).coalesce(1) \
+        .write.mode("append").parquet(input_dir)
+    stream_chunk_clean(spark, input_dir, index_dir, out_dir, ckpt)
+
+    streamed = (spark.read.parquet(out_dir)
+                .select("doc_id", "n_chunks", "n_kept", "clean_text")
+                .toPandas().sort_values("doc_id").reset_index(drop=True))
+    full = spark.createDataFrame(rows_b1 + rows_b2, schema)
+    batch = (chunk_clean_frame(full)
+             .toPandas().sort_values("doc_id").reset_index(drop=True))
+    assert streamed.equals(batch), (streamed, batch)
+
+    # doc 2's copy of the boiler chunk fell within batch 1, doc 3's
+    # fell ACROSS batches (via the index): both cleaned
+    by_id = streamed.set_index("doc_id")
+    assert "w0" in by_id.loc[1, "clean_text"]
+    assert "w0" not in by_id.loc[2, "clean_text"]
+    assert "w0" not in by_id.loc[3, "clean_text"]
+    assert by_id.loc[4, "n_kept"] == 1
+
+    # no new input -> checkpointed re-run changes nothing
+    stream_chunk_clean(spark, input_dir, index_dir, out_dir, ckpt)
+    again = (spark.read.parquet(out_dir)
+             .select("doc_id", "n_chunks", "n_kept", "clean_text")
+             .toPandas().sort_values("doc_id").reset_index(drop=True))
+    assert again.equals(streamed)
