@@ -1147,8 +1147,114 @@ ORDER BY d.doc_id
 """
 
 
+CDC_P = 8            # expected chunk width in words (boundary prob 1/P)
+CDC_SALT = "#cdc"
+
+
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str,
+                       p: int = CDC_P) -> DataFrame:
+    """CONTENT-DEFINED chunking dedup (the rsync/FastCDC idea at word
+    grain): a chunk boundary falls after word w wherever an
+    md5-derived hash of w is ``0 mod p`` — so boundaries move WITH the
+    content, and inserting or deleting a word near the front of a
+    document shifts only the chunk it lands in, not every fixed-width
+    chunk after it (the failure mode of ``dedup_chunk_crossdoc``'s
+    fixed grid, demonstrated in the invariant test).  Chunks are
+    rebuilt per boundary run, hashed, and an instance is a duplicate
+    iff it is not the globally FIRST instance of its hash (order:
+    doc_id, then chunk index — the same keep-first rule as
+    ``chunk_clean``).  Report per doc: chunk count, duplicated-instance
+    count, duplicated fraction.
+
+    Scale shape: one posexplode (linear); one per-DOC prefix-sum window
+    (partition = one document's words — bounded by doc length, never
+    corpus-wide); one (doc, chunk) groupBy to assemble chunk text; one
+    window over chash (partition = that chunk's instance list, bounded
+    by duplication); one doc groupBy.  The boundary hash is the
+    engine-portable md5 idiom (Spark ``conv(hex,16,10)`` == DuckDB
+    ``('0x'||hex)::BIGINT``) — no Python anywhere."""
+    return cdc_chunk_report(_docs(spark, sf_dir), p=p)
+
+
+def cdc_chunk_report(docs: DataFrame, p: int = CDC_P) -> DataFrame:
+    """Frame-level CDC chunk dedup report (see
+    :func:`q_dedup_cdc_chunks`; split out so pipelines and the
+    shift-robustness invariant test can run it on arbitrary frames)."""
+    pos = (docs.select("doc_id", F.posexplode(_words())
+                       .alias("p", "word")))
+    h = F.conv(F.substring(F.md5(F.concat(F.col("word"),
+                                          F.lit(CDC_SALT))), 1, 15),
+               16, 10).cast("bigint")
+    pos = pos.withColumn("bnd", (h % p == 0).cast("int"))
+    wd = (Window.partitionBy("doc_id").orderBy("p")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    idx = pos.withColumn("chunk_idx",
+                         F.coalesce(F.sum("bnd").over(wd), F.lit(0))
+                         .cast("bigint"))
+    chunks = (idx.groupBy("doc_id", "chunk_idx")
+              .agg(F.md5(F.concat_ws(
+                  " ",
+                  F.transform(
+                      F.array_sort(F.collect_list(F.struct("p", "word"))),
+                      lambda s: s.word))).alias("chash")))
+    wk = Window.partitionBy("chash").orderBy("doc_id", "chunk_idx")
+    marked = chunks.withColumn("rn", F.row_number().over(wk))
+    return (marked.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum((F.col("rn") > 1).cast("int")).cast("bigint")
+                 .alias("n_dup_chunks"))
+            .select("doc_id", F.col("n_chunks").cast("bigint")
+                    .alias("n_chunks"), "n_dup_chunks",
+                    _r6(F.col("n_dup_chunks").cast("double")
+                        / F.col("n_chunks")).alias("dup_frac"))
+            .orderBy("doc_id"))
+
+
+ORACLE_DEDUP_CDC_CHUNKS = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), pos AS (
+  -- parallel unnests zip in DuckDB: (position, word) pairs
+  SELECT doc_id, unnest(range(1, len(words) + 1)) AS p,
+         unnest(words) AS word
+  FROM w
+), bnd AS (
+  SELECT doc_id, p, word,
+         CASE WHEN (('0x' || substr(md5(word || '{CDC_SALT}'), 1, 15))
+                    ::BIGINT) % {CDC_P} = 0 THEN 1 ELSE 0 END AS b
+  FROM pos
+), idx AS (
+  SELECT doc_id, p, word,
+         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY p
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0)::BIGINT
+           AS chunk_idx
+  FROM bnd
+), chunks AS (
+  SELECT doc_id, chunk_idx,
+         md5(string_agg(word, ' ' ORDER BY p)) AS chash
+  FROM idx GROUP BY doc_id, chunk_idx
+), marked AS (
+  SELECT doc_id, chunk_idx, chash,
+         ROW_NUMBER() OVER (PARTITION BY chash
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_chunks,
+       SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+       FLOOR((SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*))
+             * 1000000 + 0.5) / 1000000 AS dup_frac
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_cdc_chunks": q_dedup_cdc_chunks,
     "dedup_chunk_crossdoc": q_dedup_chunk_crossdoc,
     "dedup_chunk_clean": q_dedup_chunk_clean,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1162,6 +1268,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_cdc_chunks": ORACLE_DEDUP_CDC_CHUNKS,
     "dedup_chunk_crossdoc": ORACLE_DEDUP_CHUNK_CROSSDOC,
     "dedup_chunk_clean": ORACLE_DEDUP_CHUNK_CLEAN,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,

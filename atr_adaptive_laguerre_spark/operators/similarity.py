@@ -1595,6 +1595,103 @@ ORDER BY vec_id, rank
 """
 
 
+KNN_NPROBE = 2
+
+
+def q_knn_graph_multiprobe(spark: SparkSession, sf_dir: str,
+                           k: int = KMEANS_K,
+                           nprobe: int = KNN_NPROBE) -> DataFrame:
+    """Corpus-wide k-NN graph with IVF MULTIPROBE — lifts
+    ``knn_graph``'s same-cell edge restriction (a true neighbor sitting
+    just across a cell boundary is invisible there): every corpus
+    vector probes its ``nprobe`` nearest trained cells and ranks exact
+    cosine over ALL vectors assigned to any probed cell.  Probe rank 1
+    is the vector's own cell (the same argmax as assignment), so the
+    candidate set strictly contains the same-cell variant's — recall
+    can only improve (invariant-tested).
+
+    At 100 TB: cost is ``nprobe`` x the same-cell scan — the pairwise
+    term becomes ``nprobe · sum_c |cell_c|²`` with the same
+    ``k ~ sqrt(nprobe · N)`` balance knob; the probe expansion is the
+    same broadcast codebook join as assignment (no extra corpus scan),
+    and each (vector, neighbor) pair appears exactly once because a
+    neighbor lives in exactly one cell.  Rank keys r6-quantized; ties
+    break on neighbor_id."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    emb = emb.withColumn("nrm", _norm(F.col("v")))   # once per vector
+    cent = _kmeans_codebook(emb, k=k)
+    assigned = _assign_cells(emb, cent)
+    # probe sets: every corpus vector's nprobe nearest cells (rank 1 ==
+    # its assigned cell)
+    psim = (emb.select("vec_id", "v", "nrm")
+            .crossJoin(F.broadcast(cent))
+            .select("vec_id", "v", "nrm", "cell",
+                    _r6(_cosine(F.col("v"), F.col("cv"),
+                                F.col("nrm"), F.col("cn")))
+                    .alias("pcos")))
+    wp = Window.partitionBy("vec_id").orderBy(F.col("pcos").desc(),
+                                              F.col("cell").asc())
+    probes = (psim.withColumn("prank", F.row_number().over(wp))
+              .filter(F.col("prank") <= nprobe)
+              .select("vec_id", F.col("v").alias("qv"),
+                      F.col("nrm").alias("qn"), "cell"))
+    nbr = assigned.select(F.col("vec_id").alias("neighbor_id"), "cell",
+                          F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    edges = (probes.join(nbr, "cell")
+             .filter(F.col("vec_id") != F.col("neighbor_id"))
+             .select("vec_id", "neighbor_id", "cell",
+                     _r6(_cosine(F.col("qv"), F.col("vb"),
+                                 F.col("qn"), F.col("nb")))
+                     .alias("cos_sim")))
+    wr = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(),
+                                              F.col("neighbor_id").asc())
+    return (edges.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= KNN_K)
+            .select("vec_id", "rank", "neighbor_id", "cell", "cos_sim")
+            .orderBy("vec_id", "rank"))
+
+
+ORACLE_KNN_GRAPH_MULTIPROBE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+{_kmeans_ctes()},
+asgn AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a='e.v', b='c.cv')} DESC,
+                      c.cell ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a='e.v', b='c.cv')} DESC,
+                      c.cell ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn <= {KNN_NPROBE}
+), edges AS (
+  SELECT p.vec_id, a.vec_id AS neighbor_id, a.cell,
+         {_COS_SQL.format(a='p.v', b='a.v')} AS cos_sim
+  FROM probes p JOIN asgn a
+    ON a.cell = p.cell AND a.vec_id != p.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, cell, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM edges
+)
+SELECT vec_id, rank, neighbor_id, cell, cos_sim
+FROM ranked WHERE rank <= {KNN_K}
+ORDER BY vec_id, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # persisted semantic index: train the coarse quantizer ONCE, serve many
 # ---------------------------------------------------------------------------
@@ -1773,6 +1870,7 @@ QUERIES = {
     "dedup_embedding_canonicalize": q_dedup_embedding_canonicalize,
     "dedup_semantic": q_dedup_semantic,
     "knn_graph": q_knn_graph,
+    "knn_graph_multiprobe": q_knn_graph_multiprobe,
     "hard_negative_mining": q_hard_negative_mining,
     "embedding_covariance": q_embedding_covariance,
     "embedding_standardize": q_embedding_standardize,
@@ -1791,6 +1889,7 @@ ORACLES = {
     "dedup_embedding_canonicalize": ORACLE_DEDUP_EMBEDDING_CANONICALIZE,
     "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
     "knn_graph": ORACLE_KNN_GRAPH,
+    "knn_graph_multiprobe": ORACLE_KNN_GRAPH_MULTIPROBE,
     "hard_negative_mining": ORACLE_HARD_NEGATIVE_MINING,
     "embedding_covariance": ORACLE_EMBEDDING_COVARIANCE,
     "embedding_standardize": ORACLE_EMBEDDING_STANDARDIZE,

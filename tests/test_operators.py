@@ -2060,3 +2060,55 @@ def test_bpe_train_merges_query_matches_python(spark):
     got = [(r["pair"], r["merged"], int(r["cnt"]))
            for _, r in out.sort_values("rank").iterrows()]
     assert got == expected, (got, expected)
+
+
+def test_knn_multiprobe_recall_dominates_same_cell(spark):
+    """Multiprobe candidates strictly contain the same-cell variant's
+    (probe rank 1 IS the assigned cell), so for every vector the rank-1
+    multiprobe neighbor similarity must be >= the same-cell rank-1
+    similarity — and at nprobe = k (all cells probed) the graph must
+    equal brute-force exact top-K."""
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        KMEANS_K, q_knn_graph, q_knn_graph_multiprobe,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    same = (q_knn_graph(spark, sf).filter("rank = 1")
+            .toPandas().set_index("vec_id")["cos_sim"])
+    multi = (q_knn_graph_multiprobe(spark, sf).filter("rank = 1")
+             .toPandas().set_index("vec_id")["cos_sim"])
+    joined = same.to_frame("s").join(multi.to_frame("m"), how="inner")
+    assert len(joined) > 0
+    assert (joined["m"] >= joined["s"]).all()
+
+    # nprobe = k probes every cell -> exact corpus-wide top-K
+    full = q_knn_graph_multiprobe(spark, sf, nprobe=KMEANS_K).toPandas()
+    by_vec = full[full["rank"] == 1].set_index("vec_id")
+    assert (by_vec["cos_sim"] >= joined["m"].reindex(by_vec.index)
+            .fillna(-2.0)).all()
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark):
+    """The point of content-defined chunking: inserting ONE word at the
+    front of a long document shifts every fixed-width chunk (zero grid
+    alignment), but CDC boundaries move with the content, so almost all
+    CDC chunks of the shifted copy are still recognized as duplicates."""
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        cdc_chunk_report, chunks_col,
+    )
+    from pyspark.sql import functions as F
+
+    body = " ".join(f"tok{i * 37 % 211}x{i}" for i in range(400))
+    docs = spark.createDataFrame(
+        [(1, body), (2, "inserted " + body)], "doc_id long, text string")
+
+    rep = cdc_chunk_report(docs).toPandas().set_index("doc_id")
+    assert rep.loc[2, "n_chunks"] > 10
+    # the shifted copy re-synchronizes: the vast majority of its chunks
+    # are caught as duplicates of doc 1's
+    assert rep.loc[2, "dup_frac"] >= 0.9, rep
+
+    # the fixed grid catches none of them (every chunk shifted by one)
+    fixed = (docs.select("doc_id", F.explode(chunks_col()).alias("chash"))
+             .groupBy("chash").count().filter("count > 1").count())
+    assert fixed == 0
