@@ -1252,9 +1252,121 @@ ORDER BY doc_id
 """
 
 
+SPAN_N = 12          # exact-substring span width in words
+
+
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str,
+                            n: int = SPAN_N) -> DataFrame:
+    """Exact substring-span dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better") at word grain: every
+    length-``n`` word window whose exact text occurs MORE THAN ONCE in
+    the corpus (across docs or repeated within one doc) is a duplicated
+    span; report per doc how many of its word positions are covered by
+    at least one duplicated span.  Unlike shingle-Jaccard (whole-doc
+    similarity) or chunk dedup (fixed/content-defined block grid), this
+    is the positional variant: it localizes WHICH words are duplicated,
+    the signal used to cut boilerplate out of otherwise-unique pages.
+
+    Scale shape (all linear in corpus words): each word starts at most
+    one gram, so the gram stream is ~1 row per word; the global
+    occurrence count is one window over gram-hash (partition = that
+    gram's instance list, bounded by its duplication frequency — the
+    boilerplate-skew hot spot is inherent to the problem); coverage is
+    an explode of DUPLICATED spans only (bounded by dup mass, not
+    corpus mass) + a distinct on (doc, position).  No joins between
+    corpus-sized frames; the only join is the per-doc report back to
+    the doc spine.  Engine-portable md5 gram hashing; zero Python."""
+    return substring_span_report(_docs(spark, sf_dir), n=n)
+
+
+def substring_span_report(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """Frame-level substring-span dedup report (see
+    :func:`q_dedup_substring_spans`; split out so the planted-passage
+    invariant test can run it on arbitrary frames)."""
+    w = _words()
+    base = docs.select("doc_id", F.size(w).cast("bigint").alias("n_words"))
+    starts = F.when(
+        F.size(w) >= n,
+        F.sequence(F.lit(1), F.size(w) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (docs.select(
+        "doc_id",
+        F.explode(F.transform(
+            starts,
+            lambda s: F.struct(
+                s.cast("bigint").alias("s"),
+                F.md5(F.concat_ws(" ", F.slice(w, s, n))).alias("gh"))))
+        .alias("g"))
+        .select("doc_id", "g.s", "g.gh"))
+    wc = Window.partitionBy("gh")
+    dup = (grams.withColumn("cnt", F.count(F.lit(1)).over(wc))
+           .filter(F.col("cnt") > 1))
+    covered = (dup.select("doc_id",
+                          F.explode(F.sequence(F.col("s"),
+                                               F.col("s") + n - 1))
+                          .alias("pos"))
+               .distinct()
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("covered_words")))
+    n_dup = (dup.groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("n_dup_grams")))
+    return (base.join(covered, "doc_id", "left")
+            .join(n_dup, "doc_id", "left")
+            .select(
+                "doc_id", "n_words",
+                F.coalesce(F.col("n_dup_grams"), F.lit(0))
+                .cast("bigint").alias("n_dup_grams"),
+                F.coalesce(F.col("covered_words"), F.lit(0))
+                .cast("bigint").alias("covered_words"))
+            .withColumn("dup_frac",
+                        _r6(F.col("covered_words").cast("double")
+                            / F.col("n_words")))
+            .orderBy("doc_id"))
+
+
+ORACLE_DEDUP_SUBSTRING_SPANS = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(words) - {SPAN_N} + 2, 1)))::BIGINT
+           AS s,
+         unnest(list_transform(
+             range(1, greatest(len(words) - {SPAN_N} + 2, 1)),
+             i -> md5(array_to_string(words[i : i + {SPAN_N} - 1], ' '))))
+           AS gh
+  FROM w
+), dup AS (
+  SELECT doc_id, s, gh,
+         COUNT(*) OVER (PARTITION BY gh) AS cnt
+  FROM grams
+  QUALIFY cnt > 1
+), covered AS (
+  SELECT doc_id, COUNT(*) AS covered_words FROM (
+    SELECT DISTINCT doc_id, unnest(range(s, s + {SPAN_N})) AS pos
+    FROM dup
+  ) GROUP BY doc_id
+), ndup AS (
+  SELECT doc_id, COUNT(*) AS n_dup_grams FROM dup GROUP BY doc_id
+)
+SELECT w.doc_id,
+       len(w.words)::BIGINT AS n_words,
+       COALESCE(ndup.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+       COALESCE(covered.covered_words, 0)::BIGINT AS covered_words,
+       FLOOR((COALESCE(covered.covered_words, 0)::DOUBLE / len(w.words))
+             * 1000000 + 0.5) / 1000000 AS dup_frac
+FROM w
+LEFT JOIN covered ON covered.doc_id = w.doc_id
+LEFT JOIN ndup ON ndup.doc_id = w.doc_id
+ORDER BY w.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_cdc_chunks": q_dedup_cdc_chunks,
+    "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_chunk_crossdoc": q_dedup_chunk_crossdoc,
     "dedup_chunk_clean": q_dedup_chunk_clean,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1269,6 +1381,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_cdc_chunks": ORACLE_DEDUP_CDC_CHUNKS,
+    "dedup_substring_spans": ORACLE_DEDUP_SUBSTRING_SPANS,
     "dedup_chunk_crossdoc": ORACLE_DEDUP_CHUNK_CROSSDOC,
     "dedup_chunk_clean": ORACLE_DEDUP_CHUNK_CLEAN,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,

@@ -1595,6 +1595,121 @@ ORDER BY vec_id, rank
 """
 
 
+SQ_LEVELS = 255      # 8-bit codes: 0..255
+
+
+def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN (the FAISS ``IndexScalarQuantizer``
+    QT_8bit shape): train per-DIMENSION (min, max) over the corpus in
+    one pass, store every vector as d one-byte codes
+    ``floor((x-min)*255/(max-min)+0.5)``, and score queries
+    asymmetrically — raw query against the RECONSTRUCTED corpus vector
+    (``min + code*(max-min)/255``), never the original floats.  The
+    4th member of the compression family (hyperplane-LSH buckets, IVF
+    cells, PQ codes, SQ codes): 8x smaller than the float corpus with
+    per-dim training only — no Lloyd iterations, so train cost is one
+    aggregate, the cheap-to-build end of the recall/compression
+    trade-off.
+
+    At 100 TB: training is one posexplode + a d-key groupBy (d keys,
+    map-side partial agg — the shuffle carries d rows per partition);
+    the (min, max) table is O(d), always broadcastable; encoding and
+    reconstruction are whole-stage-codegen array transforms; scoring is
+    the same broadcast-queries nested-loop as exact top-k.  Min/max
+    aggregates are order-independent (exact), so no quantization is
+    needed for cross-engine agreement."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    dims = emb.select(F.posexplode("v").alias("d", "x"))
+    stats = (dims.groupBy("d")
+             .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+             .groupBy()
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("d", "mn"))),
+                 lambda s: s.mn).alias("mns"),
+                 F.transform(
+                 F.array_sort(F.collect_list(F.struct("d", "mx"))),
+                 lambda s: s.mx).alias("mxs")))
+    idx = F.sequence(F.lit(1), F.size("v"))
+    code_at = lambda i: F.when(                      # noqa: E731
+        F.element_at("mxs", i) > F.element_at("mns", i),
+        F.floor((F.element_at("v", i) - F.element_at("mns", i))
+                * F.lit(float(SQ_LEVELS))
+                / (F.element_at("mxs", i) - F.element_at("mns", i))
+                + F.lit(0.5))).otherwise(F.lit(0)).cast("int")
+    coded = (emb.crossJoin(F.broadcast(stats))
+             .select("vec_id",
+                     F.transform(idx, code_at).alias("codes"),
+                     "mns", "mxs"))
+    recon_at = lambda i: (                           # noqa: E731
+        F.element_at("mns", i)
+        + (F.element_at("codes", i).cast("double")
+           * (F.element_at("mxs", i) - F.element_at("mns", i)))
+        / F.lit(float(SQ_LEVELS)))
+    recon = (coded.select(
+        "vec_id",
+        F.transform(F.sequence(F.lit(1), F.size("codes")), recon_at)
+        .alias("rv"))
+        .withColumn("rn", _norm(F.col("rv"))))
+    q = (emb.filter(F.col("vec_id") < PQ_N_QUERIES)
+         .withColumn("qn", _norm(F.col("v")))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("v").alias("qv"), "qn"))
+    scored = (recon.crossJoin(F.broadcast(q))
+              .filter(F.col("query_id") != F.col("vec_id"))
+              .select("query_id", F.col("vec_id").alias("cand_id"),
+                      _r6(_cosine(F.col("qv"), F.col("rv"),
+                                  F.col("qn"), F.col("rn")))
+                      .alias("sq_sim")))
+    wr = Window.partitionBy("query_id").orderBy(F.col("sq_sim").desc(),
+                                                F.col("cand_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "rank", "cand_id", "sq_sim")
+            .orderBy("query_id", "rank"))
+
+
+ORACLE_ANN_SQ_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), dims AS (
+  SELECT unnest(range(1, len(v) + 1)) AS d, unnest(v) AS x FROM e
+), stat AS (
+  SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY d
+), stats AS (
+  SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM stat
+), coded AS (
+  SELECT e.vec_id,
+         list_transform(range(1, len(e.v) + 1),
+             i -> CASE WHEN s.mxs[i] > s.mns[i]
+                  THEN FLOOR((e.v[i] - s.mns[i]) * {SQ_LEVELS}.0
+                             / (s.mxs[i] - s.mns[i]) + 0.5)
+                  ELSE 0 END) AS codes,
+         s.mns AS mns, s.mxs AS mxs
+  FROM e CROSS JOIN stats s
+), recon AS (
+  SELECT vec_id,
+         list_transform(range(1, len(codes) + 1),
+             i -> mns[i] + (codes[i]::DOUBLE * (mxs[i] - mns[i]))
+                  / {SQ_LEVELS}.0) AS rv
+  FROM coded
+), scored AS (
+  SELECT q.vec_id AS query_id, r.vec_id AS cand_id,
+         {_COS_SQL.format(a='q.v', b='r.rv')} AS sq_sim
+  FROM e q JOIN recon r
+    ON q.vec_id < {PQ_N_QUERIES} AND q.vec_id != r.vec_id
+), ranked AS (
+  SELECT query_id, cand_id, sq_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sq_sim DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, cand_id, sq_sim
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 KNN_NPROBE = 2
 
 
@@ -1871,6 +1986,7 @@ QUERIES = {
     "dedup_semantic": q_dedup_semantic,
     "knn_graph": q_knn_graph,
     "knn_graph_multiprobe": q_knn_graph_multiprobe,
+    "ann_sq_topk": q_ann_sq_topk,
     "hard_negative_mining": q_hard_negative_mining,
     "embedding_covariance": q_embedding_covariance,
     "embedding_standardize": q_embedding_standardize,
@@ -1890,6 +2006,7 @@ ORACLES = {
     "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
     "knn_graph": ORACLE_KNN_GRAPH,
     "knn_graph_multiprobe": ORACLE_KNN_GRAPH_MULTIPROBE,
+    "ann_sq_topk": ORACLE_ANN_SQ_TOPK,
     "hard_negative_mining": ORACLE_HARD_NEGATIVE_MINING,
     "embedding_covariance": ORACLE_EMBEDDING_COVARIANCE,
     "embedding_standardize": ORACLE_EMBEDDING_STANDARDIZE,

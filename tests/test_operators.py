@@ -2112,3 +2112,72 @@ def test_cdc_chunks_survive_prefix_insertion(spark):
     fixed = (docs.select("doc_id", F.explode(chunks_col()).alias("chash"))
              .groupBy("chash").count().filter("count > 1").count())
     assert fixed == 0
+
+
+def test_substring_spans_cover_exactly_planted_passage(spark):
+    """Plant one shared 20-word passage inside two otherwise-unique
+    docs: with span width 12, the duplicated grams are exactly the 9
+    starts inside the passage, the covered positions are exactly the 20
+    passage words, and the unrelated doc reports zero."""
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        SPAN_N, substring_span_report,
+    )
+
+    assert SPAN_N == 12
+    run = " ".join(f"shared{i}" for i in range(20))
+    d1 = " ".join(f"a{i}" for i in range(30)) + " " + run + " " + \
+        " ".join(f"b{i}" for i in range(30))
+    d2 = " ".join(f"c{i}" for i in range(25)) + " " + run + " " + \
+        " ".join(f"d{i}" for i in range(25))
+    d3 = " ".join(f"e{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string")
+
+    rep = substring_span_report(docs).toPandas().set_index("doc_id")
+    assert rep.loc[1, "n_words"] == 80
+    assert rep.loc[2, "n_words"] == 70
+    # 20-word run, width-12 grams fully inside it: 20 - 12 + 1 = 9
+    assert rep.loc[1, "n_dup_grams"] == 9
+    assert rep.loc[2, "n_dup_grams"] == 9
+    assert rep.loc[1, "covered_words"] == 20
+    assert rep.loc[2, "covered_words"] == 20
+    assert rep.loc[3, "n_dup_grams"] == 0
+    assert rep.loc[3, "covered_words"] == 0
+    assert abs(rep.loc[1, "dup_frac"] - 20 / 80) < 1e-9
+
+    # intra-doc repetition counts too (corpus-total occurrences > 1)
+    phrase = " ".join(f"p{i}" for i in range(12))
+    d4 = phrase + " xgap0 xgap1 xgap2 " + phrase
+    solo = spark.createDataFrame([(9, d4)], "doc_id long, text string")
+    rep4 = substring_span_report(solo).toPandas().set_index("doc_id")
+    assert rep4.loc[9, "n_dup_grams"] == 2
+    assert rep4.loc[9, "covered_words"] == 24
+
+
+def test_sq_topk_recall_near_exact(spark):
+    """8-bit scalar quantization of 64-dim vectors is nearly lossless
+    (per-dim error <= (max-min)/510), so SQ top-5 should recover most of
+    the exact top-5 — and every ADC similarity must sit within a small
+    bound of the exact similarity for the same pair."""
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        q_ann_sq_topk, q_ann_topk_cosine,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sq = q_ann_sq_topk(spark, sf).toPandas()
+    exact = q_ann_topk_cosine(spark, sf).toPandas()
+    exact = exact[exact["query_id"].isin(sq["query_id"].unique())]
+
+    hits = 0
+    total = 0
+    for qid, grp in exact.groupby("query_id"):
+        want = set(grp["cand_id"])
+        got = set(sq[sq["query_id"] == qid]["cand_id"])
+        hits += len(want & got)
+        total += len(want)
+    assert total > 0
+    assert hits / total >= 0.8, (hits, total)
+
+    # ADC sim vs exact sim on overlapping pairs: tight agreement
+    merged = sq.merge(exact, on=["query_id", "cand_id"])
+    assert (abs(merged["sq_sim"] - merged["cos_sim"]) < 0.01).all()

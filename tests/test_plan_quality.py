@@ -445,3 +445,62 @@ def test_edit_distance_candidates_only_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "levenshtein" in plan, plan
+
+
+def test_substring_spans_joins_on_doc_spine_only(spark):
+    """Substring-span dedup must stay corpus-linear: the gram stream is
+    counted with ONE gram-hash exchange (window, no self-join) and the
+    only joins are the per-doc report back to the doc spine."""
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        q_dedup_substring_spans,
+    )
+
+    plan = _plan(q_dedup_substring_spans(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line \
+                or "BroadcastHashJoin" in line:
+            assert "doc_id" in line, line
+
+
+def test_cdc_chunks_plan_has_no_joins(spark):
+    """Content-defined chunking is explode -> per-doc window -> two
+    groupBys: strictly linear, zero joins of any kind."""
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        q_dedup_cdc_chunks,
+    )
+
+    plan = _plan(q_dedup_cdc_chunks(spark, SF))
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, (op, plan)
+
+
+def test_knn_multiprobe_joins_on_cell_only(spark):
+    """Multiprobe candidate expansion must ride the broadcast codebook
+    (probe ranking) and a cell-keyed equi-join — corpus x corpus never
+    appears."""
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        q_knn_graph_multiprobe,
+    )
+
+    plan = _plan(q_knn_graph_multiprobe(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
+            assert "cell" in line, line
+
+
+def test_sq_topk_broadcasts_stats_and_queries_only(spark):
+    """SQ/ADC scoring joins the corpus against two broadcastable frames
+    (the O(d) min/max stats row and the query set) — no shuffled join,
+    no corpus self-join."""
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        q_ann_sq_topk,
+    )
+
+    plan = _plan(q_ann_sq_topk(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan

@@ -98,6 +98,20 @@ PLAN_NOTES = {
                            "candidate pairs (linear generation); text "
                            "fetch is two id-keyed joins — never "
                            "corpus x corpus",
+    "dedup_cdc_chunks": "content-defined chunking is explode -> per-doc "
+                        "prefix-sum window -> two groupBys: strictly "
+                        "linear, ZERO joins in the whole plan",
+    "dedup_substring_spans": "gram stream ~1 row/word; ONE gram-hash "
+                             "exchange counts occurrences (window, no "
+                             "self-join); coverage explodes DUP spans "
+                             "only; report joins ride doc_id",
+    "knn_graph_multiprobe": "probe ranking on the broadcast codebook; "
+                            "candidate expansion is one cell-keyed "
+                            "equi-join at nprobe x same-cell cost — "
+                            "corpus x corpus never appears",
+    "ann_sq_topk": "O(d) min/max stats row + query set both broadcast; "
+                   "encode/reconstruct are codegen array transforms; "
+                   "no shuffled join anywhere",
 }
 
 
