@@ -70,6 +70,11 @@ OPERATOR_QUERIES = [
     "decontaminate",
     "doc_chunk_overlap",
     "dedup_edit_distance",
+    "dedup_cdc_chunks",
+    "dedup_substring_spans",
+    "knn_graph_multiprobe",
+    "ann_sq_topk",
+    "bpe_train_merges",
 ]
 
 
