@@ -2181,3 +2181,86 @@ def test_sq_topk_recall_near_exact(spark):
     # ADC sim vs exact sim on overlapping pairs: tight agreement
     merged = sq.merge(exact, on=["query_id", "cand_id"])
     assert (abs(merged["sq_sim"] - merged["cos_sim"]) < 0.01).all()
+
+
+def test_ivfpq_residual_encoding_beats_raw(spark):
+    """The point of residual encoding (Jegou et al. 2011): PQ trained
+    on v - centroid(cell) only spans the within-cell spread, so on the
+    SAME (unit-normalized) corpus and at the same code budget its mean
+    reconstruction error must be strictly below raw PQ's — and, with
+    every cell probed (so no recall is lost to the two variants'
+    different cell structures), its cosine recall must be at least the
+    raw variant's, because unit-norm L2 ADC ranking IS cosine
+    ranking."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        IVF_N_QUERIES, KMEANS_K, _emb, _kmeans_codebook, _l2, _norm,
+        _pq_codebook, _pq_subvectors, _r6, q_ann_ivfpq_residual_topk,
+        q_ann_ivfpq_topk, q_ann_topk_cosine,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    raw = _emb(spark, sf).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("rv0"))
+    raw = raw.withColumn("n0", _norm(F.col("rv0")))
+    emb = raw.select(
+        "vec_id", F.transform("rv0", lambda x: x / F.col("n0")).alias("v"))
+    emb = emb.withColumn("nrm", _norm(F.col("v"))).cache()
+    cent = _kmeans_codebook(emb)
+    # L2 assignment, mirroring the operator (the cell must MINIMIZE
+    # the residual norm for residual PQ to make sense)
+    ldist = (emb.select("vec_id", "v")
+             .crossJoin(F.broadcast(cent.select("cell", "cv")))
+             .select("vec_id", "v", "cell",
+                     _r6(_l2(F.col("v"), F.col("cv"))).alias("ldist")))
+    wl = Window.partitionBy("vec_id").orderBy(F.col("ldist").asc(),
+                                              F.col("cell").asc())
+    asgn = (ldist.withColumn("lrank", F.row_number().over(wl))
+            .filter(F.col("lrank") == 1).select("vec_id", "v", "cell"))
+
+    def mean_recon_err(sub_src):
+        cb = _pq_codebook(_pq_subvectors(sub_src))
+        cbmap = {(r["m"], r["code"]): np.array(r["cv"])
+                 for r in cb.collect()}
+        errs = []
+        for vid, base in sub_src.select("vec_id", "v").collect():
+            x = np.array(base)
+            rec = np.concatenate([
+                min(((np.sum((x[m * 16:(m + 1) * 16]
+                              - cbmap[(m, c)]) ** 2), cbmap[(m, c)])
+                     for (mm, c) in cbmap if mm == m),
+                    key=lambda t: t[0])[1]
+                for m in range(4)])
+            errs.append(float(np.sum((x - rec) ** 2)))
+        return float(np.mean(errs))
+
+    resid = (asgn.join(F.broadcast(cent.select("cell", "cv")), "cell")
+             .select("vec_id",
+                     F.zip_with("v", "cv", lambda x, c: x - c).alias("v")))
+    err_raw = mean_recon_err(emb.select("vec_id", "v"))
+    err_res = mean_recon_err(resid)
+    # residual reconstruction adds the centroid back exactly, so the
+    # residual PQ error IS the full-vector error for that variant
+    assert err_res < err_raw, (err_res, err_raw)
+
+    # recall vs the exact COSINE top-5 (scale-invariant, so the raw
+    # corpus's cosine truth is the normalized corpus's too), probing
+    # every cell: isolates ADC encoding quality from cell misses
+    exact = q_ann_topk_cosine(spark, sf).toPandas()
+    exact = exact[exact["query_id"] < IVF_N_QUERIES]
+
+    def recall(df):
+        hits = total = 0
+        for qid, grp in exact.groupby("query_id"):
+            want = set(grp["cand_id"])
+            got = set(df[df["query_id"] == qid]["cand_id"])
+            hits += len(want & got)
+            total += len(want)
+        return hits / total
+
+    r_raw = recall(q_ann_ivfpq_topk(spark, sf, nprobe=KMEANS_K).toPandas())
+    r_res = recall(q_ann_ivfpq_residual_topk(
+        spark, sf, nprobe=KMEANS_K).toPandas())
+    assert r_res >= r_raw, (r_res, r_raw)

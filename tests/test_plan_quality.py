@@ -504,3 +504,19 @@ def test_sq_topk_broadcasts_stats_and_queries_only(spark):
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_ivfpq_residual_joins_cell_and_vec_only(spark):
+    """Residual encoding must not change the shuffle structure: one
+    cell-keyed probe join + vec_id-keyed code joins; codebooks,
+    centroid table, probes and LUTs all broadcast; never corpus x
+    corpus."""
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        q_ann_ivfpq_residual_topk,
+    )
+
+    plan = _plan(q_ann_ivfpq_residual_topk(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
+            assert "cell" in line or "vec_id" in line, line

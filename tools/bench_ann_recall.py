@@ -53,8 +53,8 @@ def main() -> None:
     from atr_adaptive_laguerre_spark.engine.session import build_session
     from atr_adaptive_laguerre_spark.operators.similarity import (
         IVF_N_QUERIES, IVF_NPROBE, KMEANS_K, TOP_K,
-        q_ann_ivf_topk, q_ann_ivfpq_rerank, q_ann_ivfpq_topk,
-        q_ann_topk_cosine,
+        q_ann_ivf_topk, q_ann_ivfpq_rerank, q_ann_ivfpq_residual_topk,
+        q_ann_ivfpq_topk, q_ann_topk_cosine,
     )
 
     spark = build_session(app="ann-recall", master="local[32]",
@@ -69,6 +69,7 @@ def main() -> None:
                  "top_k": TOP_K, "n_queries": IVF_N_QUERIES,
                  "catalog_nprobe": IVF_NPROBE, "runs": RUNS, "curve": []}
     for name, fn in (("ivf", q_ann_ivf_topk), ("ivfpq", q_ann_ivfpq_topk),
+                     ("ivfpq_residual", q_ann_ivfpq_residual_topk),
                      ("ivfpq_rerank", q_ann_ivfpq_rerank)):
         for nprobe in NPROBES:
             rec = _recall(_topk_sets(fn(spark, SF_DIR, nprobe=nprobe)), exact)

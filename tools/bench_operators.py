@@ -74,6 +74,7 @@ OPERATOR_QUERIES = [
     "dedup_substring_spans",
     "knn_graph_multiprobe",
     "ann_sq_topk",
+    "ann_ivfpq_residual_topk",
     "bpe_train_merges",
 ]
 

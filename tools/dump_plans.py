@@ -112,6 +112,11 @@ PLAN_NOTES = {
     "ann_sq_topk": "O(d) min/max stats row + query set both broadcast; "
                    "encode/reconstruct are codegen array transforms; "
                    "no shuffled join anywhere",
+    "ann_ivfpq_residual_topk": "residual encoding adds NO shuffle: one "
+                               "cell-keyed probe join as raw ivfpq; "
+                               "centroids/codebooks/per-cell LUTs all "
+                               "broadcast; normalization + residual "
+                               "subtraction ride the scan in codegen",
 }
 
 
