@@ -1363,10 +1363,127 @@ ORDER BY w.doc_id
 """
 
 
+def q_dedup_substring_clean(spark: SparkSession, sf_dir: str,
+                            n: int = SPAN_N) -> DataFrame:
+    """The TRANSFORMATION half of substring-span dedup (Lee et al.
+    2022 actually CUT the duplicated substrings): every width-``n``
+    word span whose text occurs more than once in the corpus keeps its
+    globally FIRST instance (order: doc_id, then start) and removes
+    the word positions covered by every other instance; each document
+    is re-emitted with the surviving words re-joined in position
+    order.  Output stays narrow at any corpus size (md5 of the cleaned
+    text + kept/total word counts), the same contract as
+    ``dedup_chunk_clean``.
+
+    Scale shape: the span pipeline of :func:`q_dedup_substring_spans`
+    plus one per-gram-hash window (keep-first rank — partition = that
+    gram's instance list, bounded by duplication), one distinct over
+    REMOVED positions (bounded by dup mass), one left-anti join of the
+    corpus word stream against the removed set on (doc, position), and
+    one doc-keyed re-assembly groupBy.  Zero Python; no corpus
+    self-join."""
+    return substring_clean(_docs(spark, sf_dir), n=n)
+
+
+def substring_clean(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """Frame-level substring-span removal (see
+    :func:`q_dedup_substring_clean`)."""
+    w = _words()
+    base = docs.select("doc_id", F.size(w).cast("bigint").alias("n_words"))
+    starts = F.when(
+        F.size(w) >= n,
+        F.sequence(F.lit(1), F.size(w) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (docs.select(
+        "doc_id",
+        F.explode(F.transform(
+            starts,
+            lambda s: F.struct(
+                s.cast("bigint").alias("s"),
+                F.md5(F.concat_ws(" ", F.slice(w, s, n))).alias("gh"))))
+        .alias("g"))
+        .select("doc_id", "g.s", "g.gh"))
+    wcnt = Window.partitionBy("gh")
+    wfirst = Window.partitionBy("gh").orderBy("doc_id", "s")
+    marked = (grams
+              .withColumn("cnt", F.count(F.lit(1)).over(wcnt))
+              .withColumn("rn", F.row_number().over(wfirst)))
+    removed = (marked.filter((F.col("cnt") > 1) & (F.col("rn") > 1))
+               .select("doc_id",
+                       F.explode(F.sequence(F.col("s"),
+                                            F.col("s") + n - 1))
+                       .alias("pos"))
+               .distinct())
+    words = (docs.select("doc_id", F.posexplode(w).alias("p0", "word"))
+             .select("doc_id", (F.col("p0") + 1).cast("bigint")
+                     .alias("pos"), "word"))
+    kept = words.join(removed, ["doc_id", "pos"], "left_anti")
+    clean = (kept.groupBy("doc_id")
+             .agg(F.md5(F.concat_ws(
+                 " ",
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                     lambda s: s.word))).alias("clean_hash"),
+                 F.count(F.lit(1)).alias("n_kept")))
+    return (base.join(clean, "doc_id", "left")
+            .select("doc_id", "n_words",
+                    F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint")
+                    .alias("n_kept"),
+                    F.coalesce(F.col("clean_hash"), F.md5(F.lit("")))
+                    .alias("clean_hash"))
+            .orderBy("doc_id"))
+
+
+ORACLE_DEDUP_SUBSTRING_CLEAN = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(words) - {SPAN_N} + 2, 1)))::BIGINT
+           AS s,
+         unnest(list_transform(
+             range(1, greatest(len(words) - {SPAN_N} + 2, 1)),
+             i -> md5(array_to_string(words[i : i + {SPAN_N} - 1], ' '))))
+           AS gh
+  FROM w
+), marked AS (
+  SELECT doc_id, s, gh,
+         COUNT(*) OVER (PARTITION BY gh) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, s) AS rn
+  FROM grams
+), removed AS (
+  SELECT DISTINCT doc_id, unnest(range(s, s + {SPAN_N})) AS pos
+  FROM marked WHERE cnt > 1 AND rn > 1
+), wrd AS (
+  SELECT doc_id, unnest(range(1, len(words) + 1))::BIGINT AS pos,
+         unnest(words) AS word
+  FROM w
+), kept AS (
+  SELECT wrd.doc_id, wrd.pos, wrd.word
+  FROM wrd LEFT JOIN removed r
+    ON r.doc_id = wrd.doc_id AND r.pos = wrd.pos
+  WHERE r.pos IS NULL
+), clean AS (
+  SELECT doc_id, md5(string_agg(word, ' ' ORDER BY pos)) AS clean_hash,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id,
+       len(w.words)::BIGINT AS n_words,
+       COALESCE(clean.n_kept, 0)::BIGINT AS n_kept,
+       COALESCE(clean.clean_hash, md5('')) AS clean_hash
+FROM w
+LEFT JOIN clean ON clean.doc_id = w.doc_id
+ORDER BY w.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_cdc_chunks": q_dedup_cdc_chunks,
     "dedup_substring_spans": q_dedup_substring_spans,
+    "dedup_substring_clean": q_dedup_substring_clean,
     "dedup_chunk_crossdoc": q_dedup_chunk_crossdoc,
     "dedup_chunk_clean": q_dedup_chunk_clean,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1382,6 +1499,7 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_cdc_chunks": ORACLE_DEDUP_CDC_CHUNKS,
     "dedup_substring_spans": ORACLE_DEDUP_SUBSTRING_SPANS,
+    "dedup_substring_clean": ORACLE_DEDUP_SUBSTRING_CLEAN,
     "dedup_chunk_crossdoc": ORACLE_DEDUP_CHUNK_CROSSDOC,
     "dedup_chunk_clean": ORACLE_DEDUP_CHUNK_CLEAN,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,

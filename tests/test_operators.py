@@ -2264,3 +2264,40 @@ def test_ivfpq_residual_encoding_beats_raw(spark):
     r_res = recall(q_ann_ivfpq_residual_topk(
         spark, sf, nprobe=KMEANS_K).toPandas())
     assert r_res >= r_raw, (r_res, r_raw)
+
+
+def test_substring_clean_cuts_exactly_nonfirst_instances(spark):
+    """Keep-first substring removal: the earlier doc keeps every word,
+    the later doc loses exactly the planted 20-word passage (re-joined
+    text verified by md5), the unrelated doc is untouched, and an
+    intra-doc repeat loses only its second instance."""
+    import hashlib
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        substring_clean,
+    )
+
+    run = " ".join(f"shared{i}" for i in range(20))
+    pre2 = " ".join(f"c{i}" for i in range(25))
+    post2 = " ".join(f"d{i}" for i in range(25))
+    d1 = " ".join(f"a{i}" for i in range(30)) + " " + run + " " + \
+        " ".join(f"b{i}" for i in range(30))
+    d2 = pre2 + " " + run + " " + post2
+    d3 = " ".join(f"e{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string")
+
+    rep = substring_clean(docs).toPandas().set_index("doc_id")
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert rep.loc[1, "n_kept"] == 80                    # first instance
+    assert rep.loc[1, "clean_hash"] == md5(d1)
+    assert rep.loc[2, "n_kept"] == 50                    # passage cut
+    assert rep.loc[2, "clean_hash"] == md5(pre2 + " " + post2)
+    assert rep.loc[3, "n_kept"] == 40
+    assert rep.loc[3, "clean_hash"] == md5(d3)
+
+    phrase = " ".join(f"p{i}" for i in range(12))
+    d4 = phrase + " xg0 xg1 xg2 " + phrase
+    solo = spark.createDataFrame([(9, d4)], "doc_id long, text string")
+    rep4 = substring_clean(solo).toPandas().set_index("doc_id")
+    assert rep4.loc[9, "n_kept"] == 15
+    assert rep4.loc[9, "clean_hash"] == md5(phrase + " xg0 xg1 xg2")

@@ -520,3 +520,20 @@ def test_ivfpq_residual_joins_cell_and_vec_only(spark):
     for line in plan.splitlines():
         if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
             assert "cell" in line or "vec_id" in line, line
+
+
+def test_substring_clean_anti_join_on_positions_only(spark):
+    """The removal must ride a (doc_id, pos)-keyed anti join of the
+    word stream against the removed-position set — never a corpus
+    self-join or cartesian."""
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        q_dedup_substring_clean,
+    )
+
+    plan = _plan(q_dedup_substring_clean(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line \
+                or "BroadcastHashJoin" in line:
+            assert "doc_id" in line or "pos" in line, line

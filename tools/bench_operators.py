@@ -72,6 +72,7 @@ OPERATOR_QUERIES = [
     "dedup_edit_distance",
     "dedup_cdc_chunks",
     "dedup_substring_spans",
+    "dedup_substring_clean",
     "knn_graph_multiprobe",
     "ann_sq_topk",
     "ann_ivfpq_residual_topk",

@@ -117,6 +117,11 @@ PLAN_NOTES = {
                                "centroids/codebooks/per-cell LUTs all "
                                "broadcast; normalization + residual "
                                "subtraction ride the scan in codegen",
+    "dedup_substring_clean": "keep-first rank on the gram-hash window; "
+                             "removal = (doc, pos)-keyed LEFT ANTI join "
+                             "of the word stream against the removed "
+                             "set (bounded by dup mass); one doc-keyed "
+                             "re-assembly groupBy",
 }
 
 
