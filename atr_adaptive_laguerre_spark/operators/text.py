@@ -1098,9 +1098,24 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     order cannot flip low bits (see CLAUDE.md accumulation-order
     invariant).  Rank ties break on doc_id."""
     docs = _docs(spark, sf_dir)
+    scored = bm25_scored(docs)
+    top = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
+           .limit(BM25_TOPN))
+    win = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (top.withColumn("rank", F.row_number().over(win))
+            .select("rank", "doc_id", "score").orderBy("rank"))
+
+
+def bm25_scored(docs: DataFrame,
+                terms: tuple[str, ...] = BM25_QUERY) -> DataFrame:
+    """Frame-level BM25 scoring (see :func:`q_bm25_search` for the
+    semantics and scale shape): every document with at least one query
+    term, scored against the fixed ``terms`` keyword query.  Returns
+    ``(doc_id, score)`` unranked — callers rank/limit (retrieval) or
+    fuse (hybrid RRF)."""
     w = words_col()
-    terms = docs.select("doc_id", F.explode(w).alias("term"))
-    tf = (terms.filter(F.col("term").isin(*BM25_QUERY))
+    toks = docs.select("doc_id", F.explode(w).alias("term"))
+    tf = (toks.filter(F.col("term").isin(*terms))
           .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
     dl = docs.select("doc_id", F.size(w).alias("dl"))
     nstats = docs.select(F.size(w).alias("n")).agg(
@@ -1118,15 +1133,10 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          + b * (F.col("dl")
                                                 / F.col("avgdl"))))))
     u6 = F.floor(contrib * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
-    scored = (tf.join(F.broadcast(idf), "term").join(dl, "doc_id")
-              .select("doc_id", u6.alias("c_u"))
-              .groupBy("doc_id")
-              .agg((F.sum("c_u") / F.lit(1000000.0)).alias("score")))
-    top = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
-           .limit(BM25_TOPN))
-    win = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (top.withColumn("rank", F.row_number().over(win))
-            .select("rank", "doc_id", "score").orderBy("rank"))
+    return (tf.join(F.broadcast(idf), "term").join(dl, "doc_id")
+            .select("doc_id", u6.alias("c_u"))
+            .groupBy("doc_id")
+            .agg((F.sum("c_u") / F.lit(1000000.0)).alias("score")))
 
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)

@@ -626,12 +626,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 def _merge_operator_modules() -> None:
     from atr_adaptive_laguerre_spark.operators import (
-        curation, dedup, multimodal, similarity, text, validation,
+        curation, dedup, hybrid, multimodal, similarity, text, validation,
         windows_sql,
     )
 
     for mod in (text, dedup, similarity, multimodal, validation,
-                windows_sql, curation):
+                windows_sql, curation, hybrid):
         QUERIES.update(mod.QUERIES)
         ORACLES.update(mod.ORACLES)
 

@@ -2301,3 +2301,41 @@ def test_substring_clean_cuts_exactly_nonfirst_instances(spark):
     rep4 = substring_clean(solo).toPandas().set_index("doc_id")
     assert rep4.loc[9, "n_kept"] == 15
     assert rep4.loc[9, "clean_hash"] == md5(phrase + " xg0 xg1 xg2")
+
+
+def test_hybrid_rrf_fuses_planted_lists_exactly(spark):
+    """Planted corpus where every rank is hand-computable: doc 0 is the
+    BM25 winner, doc 1 is the dense winner AND sparse runner-up — RRF
+    puts doc 1 first (two strong list positions beat one win + one
+    mid position); docs 3/4 are retrieved dense-only (no query terms),
+    and rrf_micro is the exact integer 1000000//(60+r_s) + 1000000//
+    (60+r_d) everywhere."""
+    from atr_adaptive_laguerre_spark.operators.hybrid import (
+        hybrid_search_rrf,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "scan hash window scan hash window filler0"),
+         (1, "scan window w1 w2 w3"),
+         (2, "scan x0 x1 x2 x3 x4"),
+         (3, "y0 y1 y2"),
+         (4, "z0 z1 z2")],
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0], 0),
+         (1, [0.9, 0.1, 0.0, 0.0], 0),
+         (2, [0.0, 1.0, 0.0, 0.0], 0),
+         (3, [-1.0, 0.0, 0.0, 0.0], 0),
+         (4, [1.0, 0.05, 0.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int")
+
+    out = hybrid_search_rrf(docs, emb).toPandas()
+    # PRF seeds = sparse top-3 (docs 0,1,2) -> q = u6-sums
+    # [1.9e6, 1.1e6, 0, 0]; dense order e1 > e4 > e0 > e2 > e3.
+    assert list(out.doc_id) == [1, 0, 2, 4, 3]
+    assert list(out.rank_sparse) == [2, 1, 3, 0, 0]
+    assert list(out.rank_dense) == [1, 3, 4, 2, 5]
+    expected = [sum(1000000 // (60 + r) for r in rr if r > 0)
+                for rr in [(2, 1), (1, 3), (3, 4), (0, 2), (0, 5)]]
+    assert list(out.rrf_micro) == expected
+    assert list(out["rank"]) == [1, 2, 3, 4, 5]

@@ -537,3 +537,21 @@ def test_substring_clean_anti_join_on_positions_only(spark):
         if "SortMergeJoin" in line or "ShuffledHashJoin" in line \
                 or "BroadcastHashJoin" in line:
             assert "doc_id" in line or "pos" in line, line
+
+
+def test_hybrid_rrf_no_corpus_self_join(spark):
+    """Hybrid fusion: every hash/merge join keyed on doc_id/vec_id/term;
+    the only nested-loop joins are the two 1-row broadcasts (BM25
+    corpus stats, PRF query vector); never a cartesian."""
+    from atr_adaptive_laguerre_spark.operators.hybrid import (
+        q_hybrid_search_rrf,
+    )
+
+    plan = _plan(q_hybrid_search_rrf(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line \
+                or "BroadcastHashJoin" in line:
+            assert "doc_id" in line or "vec_id" in line \
+                or "term" in line, line

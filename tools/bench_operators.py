@@ -73,6 +73,7 @@ OPERATOR_QUERIES = [
     "dedup_cdc_chunks",
     "dedup_substring_spans",
     "dedup_substring_clean",
+    "hybrid_search_rrf",
     "knn_graph_multiprobe",
     "ann_sq_topk",
     "ann_ivfpq_residual_topk",

@@ -117,6 +117,12 @@ PLAN_NOTES = {
                                "centroids/codebooks/per-cell LUTs all "
                                "broadcast; normalization + residual "
                                "subtraction ride the scan in codegen",
+    "hybrid_search_rrf": "sparse list = posting-filtered BM25 "
+                         "TakeOrdered top-R (localCheckpoint: ONE "
+                         "corpus scan for its two consumers); dense "
+                         "list = 1-row PRF query broadcast over one "
+                         "embeddings scan; fusion = full-outer join "
+                         "of two R-row lists on doc_id",
     "dedup_substring_clean": "keep-first rank on the gram-hash window; "
                              "removal = (doc, pos)-keyed LEFT ANTI join "
                              "of the word stream against the removed "
