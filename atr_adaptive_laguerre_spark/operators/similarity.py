@@ -2077,11 +2077,26 @@ def _read_semantic_index(spark: SparkSession,
     """(codebook, assigned-corpus) from a :func:`build_semantic_index`
     store.  The partition column comes back as parquet-directory
     metadata — cast to the codebook's long so downstream joins and
-    output schemas match the inline queries exactly."""
+    output schemas match the inline queries exactly.
+
+    The assigned corpus is the union of the build-time inverted lists
+    (``asgn/``) and any streamed increments
+    (``asgn_inc/batch=<id>/``, written by
+    ``streaming.similarity.stream_semantic_index_append``) — every
+    consumer transparently sees the grown corpus.  One Hadoop
+    ``FileSystem.exists`` probe, never a try/except on a full read."""
     cent = spark.read.parquet(f"{index_dir}/cells")
     asgn = (spark.read.parquet(f"{index_dir}/asgn")
             .withColumn("cell", F.col("cell").cast("long"))
             .select("vec_id", "v", "nrm", "acos", "cell"))
+    inc_path = spark._jvm.org.apache.hadoop.fs.Path(
+        f"{index_dir}/asgn_inc")
+    fs = inc_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(inc_path):
+        inc = (spark.read.parquet(f"{index_dir}/asgn_inc")
+               .withColumn("cell", F.col("cell").cast("long"))
+               .select("vec_id", "v", "nrm", "acos", "cell"))
+        asgn = asgn.unionByName(inc)
     return cent, asgn
 
 

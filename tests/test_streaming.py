@@ -847,3 +847,70 @@ def test_stream_chunk_clean_matches_batch(spark, tmp_path):
              .select("doc_id", "n_chunks", "n_kept", "clean_text")
              .toPandas().sort_values("doc_id").reset_index(drop=True))
     assert again.equals(streamed)
+
+
+def test_stream_semantic_index_append_grows_served_corpus(spark, tmp_path):
+    """Streaming IVF add(): vectors arriving after build_semantic_index
+    are assigned to their nearest TRAINED cell (codebook untouched) and
+    appended under asgn_inc/batch=<id>; the streamed assignments are
+    bit-identical to _assign_cells run in batch under the same codebook,
+    every index consumer transparently sees the grown corpus, and a
+    checkpointed re-run with no new input is a no-op."""
+    from pyspark.sql import functions as F
+
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        _assign_cells, _norm, _read_semantic_index, build_semantic_index,
+        kmeans_from_index,
+    )
+    from atr_adaptive_laguerre_spark.streaming.similarity import (
+        stream_semantic_index_append,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    raw = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = raw.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    idx = str(tmp_path / "semantic_index")
+    build_semantic_index(emb.filter(F.col("vec_id") < 300), idx)
+    base_n = spark.read.parquet(f"{idx}/asgn").count()
+    assert base_n == 300
+
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    (raw.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+     .select("vec_id", "embedding")
+     .coalesce(1).write.mode("append").parquet(input_dir))
+    stream_semantic_index_append(spark, input_dir, idx, ckpt)
+
+    cent, asgn = _read_semantic_index(spark, idx)
+    assert asgn.count() == 400
+
+    # streamed assignment == batch _assign_cells under the SAME codebook
+    inc = (asgn.filter(F.col("vec_id") >= 300)
+           .toPandas().sort_values("vec_id").reset_index(drop=True))
+    want = (_assign_cells(
+        emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+        .withColumn("nrm", _norm(F.col("v"))), cent)
+        .select("vec_id", "v", "nrm", "acos", "cell")
+        .toPandas().sort_values("vec_id").reset_index(drop=True))
+    assert inc[["vec_id", "acos", "cell"]].equals(
+        want[["vec_id", "acos", "cell"]])
+
+    # consumers see the grown corpus: one summary row per vector, and
+    # each streamed vector's cluster_size counts its streamed peers
+    km = kmeans_from_index(spark, idx).toPandas()
+    assert len(km) == 400
+    sizes = km.groupby("cell")["cluster_size"].first()
+    assert sizes.sum() == 400
+
+    # checkpointed re-run with no new input: nothing appended
+    stream_semantic_index_append(spark, input_dir, idx, ckpt)
+    _, again = _read_semantic_index(spark, idx)
+    assert again.count() == 400
+
+    # a second micro-batch grows it further (cross-batch accumulation)
+    (raw.filter(F.col("vec_id") >= 400).select("vec_id", "embedding")
+     .coalesce(1).write.mode("append").parquet(input_dir))
+    stream_semantic_index_append(spark, input_dir, idx, ckpt)
+    _, grown = _read_semantic_index(spark, idx)
+    assert grown.count() == 500
