@@ -1384,6 +1384,81 @@ FROM comp c JOIN ms USING (d)
 ORDER BY c.vec_id, c.d
 """
 
+#: sparse Johnson-Lindenstrauss projection: output dimensionality and
+#: the quadratic Carter-Wegman hash that derives the ±1/0 matrix.  The
+#: LINEAR hash (a·t+b mod p) is NOT enough here: rows k and k' of the
+#: matrix would differ by the constant a·d·(k−k') mod p, leaving them
+#: visibly correlated (measured row-gram off-diagonal up to 18 vs a
+#: diagonal of ~21); the quadratic term breaks the shift structure
+#: (off-diagonal max 7, rms 2.5 ≈ the √(d)/3 expectation for
+#: independent density-⅓ sign rows).
+RP_K = 16
+RP_A, RP_B, RP_C, RP_P = 1103515245, 12345, 987654321, 2147483647
+
+
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str,
+                                  k: int = RP_K) -> DataFrame:
+    """Sparse random projection (Achlioptas 2003; Johnson-Lindenstrauss)
+    of the embedding corpus from d=64 to k=16 dimensions — the standard
+    dimensionality-reduction step in front of LSH/IVF candidate
+    generation at corpus scale (JL: pairwise distances survive within
+    1±ε for k = O(log N / ε²), and the density-⅓ {+1,0,−1} matrix
+    makes the projection 3× cheaper than a dense Gaussian with the
+    same guarantee).  y_k = √(3/k)·Σⱼ sign(k,j)·xⱼ where sign(k,j) ∈
+    {+1,−1,0} w.p. {⅙,⅙,⅔} comes from the quadratic hash above — the
+    matrix is never materialized or shipped; both engines re-derive
+    entries from (k, j) alone.
+
+    Scale shape: pure per-row Catalyst expression (nested
+    ``transform``/``zip_with``/``aggregate`` over the vector), ZERO
+    shuffles and zero Python — a map-only pass whatever the corpus
+    size, the ideal 100 TB plan.
+
+    Determinism: each term is sign·floor(x·1e6+0.5) — exact integer
+    arithmetic in both engines, order-free BIGINT sums — and the final
+    √(3/k) rescale is a two-op chain of correctly-rounded binary64 ops
+    on identical integers (3/16 = 0.1875 is exact, IEEE sqrt is
+    correctly rounded in numpy, the JVM, and DuckDB alike)."""
+    import math
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    s_micro = F.expr(f"""
+      transform(sequence(0, {k - 1}), kk ->
+        aggregate(
+          zip_with(v, sequence(0, size(v) - 1), (x, j) ->
+            (case ({RP_A}L * (kk * size(v) + j) * (kk * size(v) + j)
+                   + {RP_B}L * (kk * size(v) + j) + {RP_C}L) % {RP_P}L % 6
+               when 0 then 1L when 1 then -1L else 0L end)
+            * cast(floor(x * 1000000.0 + 0.5) as bigint)),
+          0L, (acc, t) -> acc + t))
+    """)
+    scale = F.lit(math.sqrt(3.0 / k))
+    return (emb.select("vec_id", F.posexplode(s_micro).alias("k", "s"))
+            .select("vec_id", "k",
+                    _r6(F.col("s").cast("double") / F.lit(1000000.0)
+                        * scale).alias("y"))
+            .orderBy("vec_id", "k"))
+
+
+ORACLE_EMBEDDING_RANDOM_PROJECTION = f"""
+WITH comp AS (
+  SELECT vec_id, j, embedding[j + 1]::DOUBLE AS x, len(embedding) AS d
+  FROM embeddings, UNNEST(range(0, len(embedding))) AS tj(j)
+), terms AS (
+  SELECT vec_id, kk AS k,
+         (CASE ({RP_A}::BIGINT * (kk * d + j) * (kk * d + j)
+                + {RP_B}::BIGINT * (kk * d + j) + {RP_C}) % {RP_P} % 6
+            WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END)::BIGINT
+         * FLOOR(x * 1000000.0 + 0.5)::BIGINT AS t_micro
+  FROM comp, UNNEST(range(0, {RP_K})) AS tk(kk)
+)
+SELECT vec_id, k,
+       FLOOR(SUM(t_micro)::DOUBLE / 1000000.0 * sqrt(3.0 / {RP_K}.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS y
+FROM terms GROUP BY vec_id, k ORDER BY vec_id, k
+"""
+
 
 def principal_axis(cov: "list[list[float]]", iters: int = 512):
     """Top eigenvector/eigenvalue of a (tiny, driver-side) covariance
@@ -2234,6 +2309,7 @@ QUERIES = {
     "hard_negative_mining": q_hard_negative_mining,
     "embedding_covariance": q_embedding_covariance,
     "embedding_standardize": q_embedding_standardize,
+    "embedding_random_projection": q_embedding_random_projection,
 }
 
 ORACLES = {
@@ -2255,4 +2331,5 @@ ORACLES = {
     "hard_negative_mining": ORACLE_HARD_NEGATIVE_MINING,
     "embedding_covariance": ORACLE_EMBEDDING_COVARIANCE,
     "embedding_standardize": ORACLE_EMBEDDING_STANDARDIZE,
+    "embedding_random_projection": ORACLE_EMBEDDING_RANDOM_PROJECTION,
 }

@@ -360,6 +360,55 @@ ORDER BY doc_id
 """
 
 
+#: corpus-wide frequent-n-gram report size
+NGRAM_TOPN = 50
+
+
+def q_corpus_ngram_topk(spark: SparkSession, sf_dir: str,
+                        n: int = 3, topn: int = NGRAM_TOPN) -> DataFrame:
+    """Corpus-wide frequent n-gram mining: the top-``topn`` word
+    trigrams by total occurrences, with document frequency — the
+    boilerplate/template detector of a web-curation pipeline (CCNet
+    and Gopher both cut pages dominated by corpus-frequent phrases;
+    the same table seeds contamination blocklists and dedup
+    stop-grams).
+
+    Scale shape: one explode feeds one gram-keyed groupBy with
+    map-side partial aggregation, then the global top-N is a
+    TakeOrderedAndProject (O(topn) per partition, never a full sort);
+    the distinct-doc frequency rides the same shuffle via a
+    (gram, doc) pre-aggregate.  Deterministic at the cut: ties broken
+    by the gram itself (binary UTF-8 ordering in both engines).
+
+    Fully integer (counts only) — no float quantization needed."""
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id", F.explode(_ngram_col(words_col(), n)).alias("ngram"))
+    per_doc = (grams.groupBy("ngram", "doc_id")
+               .agg(F.count(F.lit(1)).alias("c")))
+    counts = (per_doc.groupBy("ngram")
+              .agg(F.sum("c").alias("cnt"),
+                   F.count(F.lit(1)).alias("df")))
+    return (counts.orderBy(F.desc("cnt"), "ngram").limit(topn)
+            .select("ngram", "cnt", "df"))
+
+
+ORACLE_CORPUS_NGRAM_TOPK = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3] AS ngram
+  FROM w, UNNEST(range(0, len(words) - 2)) AS t(i)
+  WHERE len(words) >= 3
+)
+SELECT ngram, COUNT(*)::BIGINT AS cnt, COUNT(DISTINCT doc_id)::BIGINT AS df
+FROM g GROUP BY ngram
+ORDER BY cnt DESC, ngram LIMIT {NGRAM_TOPN}
+"""
+
+
 #: keywords reported per document by tf-idf extraction
 TFIDF_K = 5
 
@@ -1257,6 +1306,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "token_counts": q_token_counts,
     "text_repetition": q_text_repetition,
+    "corpus_ngram_topk": q_corpus_ngram_topk,
     "tfidf_topk": q_tfidf_topk,
     "lm_bigram_surprisal": q_lm_bigram_surprisal,
     "quality_classifier": q_quality_classifier,
@@ -1275,6 +1325,7 @@ ORACLES = {
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "text_repetition": ORACLE_TEXT_REPETITION,
+    "corpus_ngram_topk": ORACLE_CORPUS_NGRAM_TOPK,
     "tfidf_topk": ORACLE_TFIDF_TOPK,
     "lm_bigram_surprisal": ORACLE_LM_BIGRAM_SURPRISAL,
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,

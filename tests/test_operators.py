@@ -2339,3 +2339,58 @@ def test_hybrid_rrf_fuses_planted_lists_exactly(spark):
                 for rr in [(2, 1), (1, 3), (3, 4), (0, 2), (0, 5)]]
     assert list(out.rrf_micro) == expected
     assert list(out["rank"]) == [1, 2, 3, 4, 5]
+
+
+def test_random_projection_preserves_distances(spark):
+    """Johnson-Lindenstrauss contract of the sparse projection: the
+    64->16 map must preserve (a) norms in expectation (E||y||^2 =
+    ||x||^2 under the density-1/3 +-1 matrix with the sqrt(3/k) scale)
+    and (b) the GEOMETRY of the corpus — pairwise squared distances in
+    the projected space track the originals.  Also pins the matrix
+    derivation: Spark's hash-derived signs must equal the numpy
+    re-derivation entry for entry."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        RP_A, RP_B, RP_C, RP_K, RP_P, q_embedding_random_projection,
+    )
+
+    out = q_embedding_random_projection(spark, SF).toPandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    x = np.stack(emb.sort_values("vec_id")["embedding"].to_numpy()
+                 ).astype(np.float64)
+    n, d = x.shape
+    assert len(out) == n * RP_K
+
+    # re-derive the matrix and the projection in numpy
+    t = np.arange(RP_K * d, dtype=np.int64)
+    h = ((RP_A * t * t + RP_B * t + RP_C) % RP_P) % 6
+    r = np.where(h == 0, 1.0, np.where(h == 1, -1.0, 0.0)).reshape(RP_K, d)
+    xq = np.floor(x * 1e6 + 0.5)            # the engines' micro grid
+    want = (xq @ r.T) / 1e6 * np.sqrt(3.0 / RP_K)
+    got = (out.sort_values(["vec_id", "k"])["y"]
+           .to_numpy().reshape(n, RP_K))
+    assert np.abs(got - want).max() < 1e-5
+
+    # norm preservation in expectation (ratio ~1 corpus-wide)
+    ratio = (got * got).sum(axis=1) / (x * x).sum(axis=1)
+    assert 0.85 < np.median(ratio) < 1.15
+
+    # pairwise distance geometry survives (JL): every distance lands
+    # within 1+-eps of the original.  At k=16 eps is ~sqrt(log n / k)
+    # ~ 0.5, and this corpus's true distances spread only ~13% around
+    # their mean, so a CORRELATION test would be meaningless (the JL
+    # noise dwarfs the signal by design at this k) — the lemma's
+    # actual guarantee is the bounded per-pair ratio, so that is what
+    # gets pinned: median ~1, 98% of pairs inside [1/3, 2.5].
+    sub = np.arange(0, n, max(1, n // 120))
+    def pdist2(m):
+        g = (m * m).sum(axis=1)
+        return (g[:, None] + g[None, :] - 2 * m @ m.T)[
+            np.triu_indices(len(m), 1)]
+    d_orig, d_proj = pdist2(x[sub]), pdist2(got[sub])
+    ratio = d_proj / d_orig
+    assert 0.9 < np.median(ratio) < 1.1, np.median(ratio)
+    lo, hi = np.quantile(ratio, [0.01, 0.99])
+    assert lo > 1.0 / 3.0 and hi < 2.5, (lo, hi)

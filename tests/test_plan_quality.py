@@ -555,3 +555,31 @@ def test_hybrid_rrf_no_corpus_self_join(spark):
                 or "BroadcastHashJoin" in line:
             assert "doc_id" in line or "vec_id" in line \
                 or "term" in line, line
+
+
+def test_random_projection_map_only(spark):
+    """Sparse JL projection: the projection itself is a pure per-row
+    expression — no joins anywhere, no hash shuffle; the only exchange
+    in the whole plan is the presentation sort's rangepartitioning."""
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        q_embedding_random_projection,
+    )
+
+    plan = _plan(q_embedding_random_projection(spark, SF))
+    assert "Join" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_corpus_ngram_topk_take_ordered(spark):
+    """Corpus n-gram mining: the global top-N plans as
+    TakeOrderedAndProject (O(topn) per partition), never a full sort,
+    and the only shuffles are the two gram-keyed aggregations
+    (gram+doc pre-aggregate, then gram rollup)."""
+    from atr_adaptive_laguerre_spark.operators.text import (
+        q_corpus_ngram_topk,
+    )
+
+    plan = _plan(q_corpus_ngram_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
