@@ -1396,6 +1396,24 @@ RP_K = 16
 RP_A, RP_B, RP_C, RP_P = 1103515245, 12345, 987654321, 2147483647
 
 
+def _rp_s_micro(col: str, k: int = RP_K):
+    """``array<bigint>`` of the k UNSCALED projection sums in micro
+    units: s_k = Σⱼ sign(k,j)·floor(xⱼ·1e6+0.5).  Exact integers —
+    both engines derive identical arrays, so ranking in the projected
+    space needs no float quantization at all."""
+    return F.expr(f"""
+      transform(sequence(0, {k - 1}), kk ->
+        aggregate(
+          zip_with({col}, sequence(0, size({col}) - 1), (x, j) ->
+            (case ({RP_A}L * (kk * size({col}) + j) * (kk * size({col}) + j)
+                   + {RP_B}L * (kk * size({col}) + j) + {RP_C}L)
+                  % {RP_P}L % 6
+               when 0 then 1L when 1 then -1L else 0L end)
+            * cast(floor(x * 1000000.0 + 0.5) as bigint)),
+          0L, (acc, t) -> acc + t))
+    """)
+
+
 def q_embedding_random_projection(spark: SparkSession, sf_dir: str,
                                   k: int = RP_K) -> DataFrame:
     """Sparse random projection (Achlioptas 2003; Johnson-Lindenstrauss)
@@ -1423,16 +1441,7 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str,
 
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    s_micro = F.expr(f"""
-      transform(sequence(0, {k - 1}), kk ->
-        aggregate(
-          zip_with(v, sequence(0, size(v) - 1), (x, j) ->
-            (case ({RP_A}L * (kk * size(v) + j) * (kk * size(v) + j)
-                   + {RP_B}L * (kk * size(v) + j) + {RP_C}L) % {RP_P}L % 6
-               when 0 then 1L when 1 then -1L else 0L end)
-            * cast(floor(x * 1000000.0 + 0.5) as bigint)),
-          0L, (acc, t) -> acc + t))
-    """)
+    s_micro = _rp_s_micro("v", k)
     scale = F.lit(math.sqrt(3.0 / k))
     return (emb.select("vec_id", F.posexplode(s_micro).alias("k", "s"))
             .select("vec_id", "k",
@@ -1457,6 +1466,129 @@ SELECT vec_id, k,
        FLOOR(SUM(t_micro)::DOUBLE / 1000000.0 * sqrt(3.0 / {RP_K}.0)
              * 1000000.0 + 0.5) / 1000000.0 AS y
 FROM terms GROUP BY vec_id, k ORDER BY vec_id, k
+"""
+
+#: candidates surviving the projected-space cut, per query, and the
+#: stage-1 projection width.  k=32 (not the pure-projection query's 16)
+#: because the corpus's true distances spread only ~13% around their
+#: mean, so JL noise at k=16 scrambles near-ties: measured recall@5 at
+#: sf0.01 is 0.33 (k=16, R=50) → 0.55 (16, 100) → 0.52 (32, 50) →
+#: 0.70 (32, 100) — the chosen point matches the published IVFPQ
+#: rerank curve while still halving the scan.  The full (k, R) sweep
+#: at sf0.1 lives in BENCH/ann_recall.json ("rp" variant): recall
+#: tracks the R/corpus ratio, and the RP scan runs ~5× faster than
+#: the IVFPQ family at the same shortlist quality (1.0-1.2 s vs
+#: 5-6 s), so R is the knob to scale with the corpus.
+RP_SHORTLIST = 100
+RP_ANN_K = 32
+
+
+def q_ann_rp_topk(spark: SparkSession, sf_dir: str,
+                  k: int = RP_ANN_K,
+                  shortlist: int = RP_SHORTLIST) -> DataFrame:
+    """Two-stage ANN through the sparse JL projection: rank the corpus
+    by L2 distance in the 32-d PROJECTED space (a 2× cheaper scan than
+    64-d cosine — and the projected rows are what a 100 TB deployment
+    would materialize), keep the top-``RP_SHORTLIST`` per query, then
+    exact-cosine rerank ONLY those rows — the dimensionality-reduction
+    twin of :func:`q_ann_ivfpq_rerank`'s code-space shortlist.
+
+    Scale shape: stage 1 carries only ``(cand_id, 16 bigints)``
+    through the broadcast-queries corpus scan — the full 64-d vector
+    never rides the candidate stream; stage 2 re-joins the O(Q·R)
+    shortlist (broadcast) back to the corpus by id for the exact
+    verify.  Composes with the IVF cell index for sub-scan candidate
+    generation at larger Q.
+
+    Determinism: the stage-1 ranking is EXACT INTEGER arithmetic —
+    projected sums stay in micro units (``_rp_s_micro``), distances
+    are Σ(Δmicro)² BIGINTs, ties broken by cand_id — so the shortlist
+    membership is engine-identical with no float quantization at all;
+    stage 2 reuses the established r6-quantized cosine."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    proj = emb.select("vec_id", _rp_s_micro("v", k).alias("s"))
+    q = (proj.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"), F.col("s").alias("qs")))
+    cand = proj.select(F.col("vec_id").alias("cand_id"),
+                       F.col("s").alias("cs"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("qs"), F.col("cs"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    w1 = Window.partitionBy("query_id").orderBy(F.col("d2").asc(),
+                                                F.col("cand_id").asc())
+    short = (F.broadcast(q).crossJoin(cand)
+             .filter(F.col("query_id") != F.col("cand_id"))
+             .select("query_id", "cand_id", d2.alias("d2"))
+             .withColumn("prank", F.row_number().over(w1))
+             .filter(F.col("prank") <= shortlist)
+             .select("query_id", "cand_id"))
+    full = emb.withColumn("nrm", _norm(F.col("v")))
+    qv = full.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"))
+    cv = full.select(F.col("vec_id").alias("cand_id"),
+                     F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+    rer = (F.broadcast(short).join(cv, "cand_id")
+           .join(F.broadcast(qv), "query_id")
+           .select("query_id", "cand_id",
+                   _r6(_cosine(F.col("qv"), F.col("cv"),
+                               F.col("qn"), F.col("cn"))).alias("cos_sim")))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                                F.col("cand_id").asc())
+    return (rer.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "rank", "cand_id", "cos_sim")
+            .orderBy("query_id", "rank"))
+
+
+ORACLE_ANN_RP_TOPK = f"""
+WITH comp AS (
+  SELECT vec_id, j, embedding[j + 1]::DOUBLE AS x, len(embedding) AS d
+  FROM embeddings, UNNEST(range(0, len(embedding))) AS tj(j)
+), terms AS (
+  SELECT vec_id, kk AS k,
+         (CASE ({RP_A}::BIGINT * (kk * d + j) * (kk * d + j)
+                + {RP_B}::BIGINT * (kk * d + j) + {RP_C}) % {RP_P} % 6
+            WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END)::BIGINT
+         * FLOOR(x * 1000000.0 + 0.5)::BIGINT AS t_micro
+  FROM comp, UNNEST(range(0, {RP_ANN_K})) AS tk(kk)
+), s AS (
+  SELECT vec_id, k, SUM(t_micro)::BIGINT AS s
+  FROM terms GROUP BY vec_id, k
+), d2 AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         SUM((q.s - c.s) * (q.s - c.s))::BIGINT AS d2
+  FROM s q JOIN s c ON q.k = c.k
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+  GROUP BY 1, 2
+), short AS (
+  SELECT query_id, cand_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY d2 ASC, cand_id ASC) AS prank
+  FROM d2
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), sims AS (
+  SELECT sh.query_id, sh.cand_id,
+         FLOOR((list_sum(list_transform(range(1, length(q.v) + 1),
+                  i -> q.v[i] * c.v[i]))
+                / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                   * sqrt(list_sum(list_transform(c.v, x -> x * x)))))
+               * 1000000 + 0.5) / 1000000 AS cos_sim
+  FROM short sh
+  JOIN e q ON q.vec_id = sh.query_id
+  JOIN e c ON c.vec_id = sh.cand_id
+  WHERE sh.prank <= {RP_SHORTLIST}
+), ranked AS (
+  SELECT query_id, cand_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, rank, cand_id, cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
 """
 
 
@@ -2310,6 +2442,7 @@ QUERIES = {
     "embedding_covariance": q_embedding_covariance,
     "embedding_standardize": q_embedding_standardize,
     "embedding_random_projection": q_embedding_random_projection,
+    "ann_rp_topk": q_ann_rp_topk,
 }
 
 ORACLES = {
@@ -2332,4 +2465,5 @@ ORACLES = {
     "embedding_covariance": ORACLE_EMBEDDING_COVARIANCE,
     "embedding_standardize": ORACLE_EMBEDDING_STANDARDIZE,
     "embedding_random_projection": ORACLE_EMBEDDING_RANDOM_PROJECTION,
+    "ann_rp_topk": ORACLE_ANN_RP_TOPK,
 }

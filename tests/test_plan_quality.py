@@ -583,3 +583,22 @@ def test_corpus_ngram_topk_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_ann_rp_topk_shortlist_never_carries_vectors(spark):
+    """Two-stage RP ANN: stage 1's corpus stream must carry only the
+    projected bigint sums — the 64-d vector re-enters via the
+    broadcast shortlist-to-corpus id joins of stage 2.  No SMJ, no
+    unkeyed join besides the broadcast-queries scan."""
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        q_ann_rp_topk,
+    )
+
+    plan = _plan(q_ann_rp_topk(spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the single nested-loop join is the broadcast of the 20 queries
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line:
+            assert "cand_id" in line or "query_id" in line, line

@@ -104,6 +104,27 @@ def main() -> None:
                "wall_s": round(time.perf_counter() - t0, 3)}
         out["curve"].append(row)
         print(f"ivfpq_rerank r={r_cand}: recall@5={rec:.3f}", flush=True)
+    # sparse-JL two-stage ANN (q_ann_rp_topk): projection width ×
+    # shortlist size — the dim-reduction analog of the PQ shortlist
+    # sweep above.  Uses the FULL query set (RP has no cell structure,
+    # so no reason to restrict to the IVF query subset).
+    from atr_adaptive_laguerre_spark.operators.similarity import (
+        q_ann_rp_topk,
+    )
+
+    exact_all = _topk_sets(q_ann_topk_cosine(spark, SF_DIR))
+    for k in (16, 32):
+        for r_cand in (50, 100, 200):
+            rec = _recall(_topk_sets(q_ann_rp_topk(
+                spark, SF_DIR, k=k, shortlist=r_cand)), exact_all)
+            t0 = time.perf_counter()
+            q_ann_rp_topk(spark, SF_DIR, k=k, shortlist=r_cand) \
+                .write.format("noop").mode("overwrite").save()
+            row = {"variant": "rp", "rp_k": k, "r_cand": r_cand,
+                   "recall_at_5": round(rec, 4),
+                   "wall_s": round(time.perf_counter() - t0, 3)}
+            out["curve"].append(row)
+            print(f"rp k={k} r={r_cand}: recall@5={rec:.3f}", flush=True)
     path = os.path.join(REPO, "BENCH", "ann_recall.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

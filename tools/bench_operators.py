@@ -78,6 +78,9 @@ OPERATOR_QUERIES = [
     "ann_sq_topk",
     "ann_ivfpq_residual_topk",
     "bpe_train_merges",
+    "embedding_random_projection",
+    "corpus_ngram_topk",
+    "ann_rp_topk",
 ]
 
 
