@@ -132,13 +132,85 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def exact_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """GROUND-TRUTH near-dup pairs: exact Jaccard over every doc pair
+    sharing at least one shingle (pairs sharing none have J = 0 and can
+    never reach the threshold), computed WITHOUT a corpus cross join —
+    one shingle-equality self-join plus a (doc_a, doc_b) groupBy.
+
+    This is the exhaustive baseline the LSH candidate generator is
+    measured against (``tools/bench_lsh_tuning.py``): recall of
+    :func:`_lsh_candidate_pairs` at each (K, bands) operating point is
+    \\|candidates ∩ these pairs\\| / \\|these pairs\\|.  Cost is
+    Σ_shingle count(shingle)² — quadratic per hot shingle — so this is
+    the small-scale adjudication harness; the production path at scale
+    stays LSH candidates + verify (:func:`verified_jaccard_pairs`)."""
+    sh = docs.select("doc_id", F.explode(shingles_col()).alias("s"))
+    inter = (sh.alias("a")
+             .join(sh.alias("b"), (F.col("a.s") == F.col("b.s"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sz = docs.select("doc_id", F.size(shingles_col()).alias("n"))
+    jac = (inter
+           .join(sz.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n").alias("n_a")), "doc_a")
+           .join(sz.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n").alias("n_b")), "doc_b")
+           .withColumn("jaccard", F.col("n_inter")
+                       / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))))
+    return (jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", "n_inter",
+                    _r6(F.col("jaccard")).alias("jaccard")))
+
+
+def q_dedup_jaccard_groundtruth(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Driver-facing exhaustive near-dup pair list (see
+    :func:`exact_jaccard_pairs`)."""
+    return exact_jaccard_pairs(_docs(spark, sf_dir)).orderBy("doc_a",
+                                                             "doc_b")
+
+
+ORACLE_DEDUP_JACCARD_GROUNDTRUTH = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), shl AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+{NGRAM - 1}], ' ')
+                        for i in range(1, length(words) - {NGRAM - 2})])
+           AS shingles
+  FROM w
+), sh AS (
+  SELECT doc_id, unnest(shingles) AS s FROM shl
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (
+  SELECT doc_id, len(shingles) AS n FROM shl
+)
+SELECT doc_a, doc_b, n_inter,
+       FLOOR((n_inter::DOUBLE / (sa.n + sb.n - n_inter))
+             * 1000000 + 0.5) / 1000000 AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
 def _hash60(col, k: int):
     """60-bit integer from md5(col || '#' || k) — engine-portable."""
     return F.conv(F.substring(F.md5(F.concat(col, F.lit(f"#{k}"))), 1, 15),
                   16, 10).cast("bigint")
 
 
-def band_signatures(docs: DataFrame) -> DataFrame:
+def band_signatures(docs: DataFrame, n_hashes: "int | None" = None,
+                    n_bands: "int | None" = None) -> DataFrame:
     """(doc_id, band, bucket) MinHash-LSH band signatures: K=12
     minhashes per doc, 4 bands x 3 rows, bucket = md5 of the band's
     minhashes.  Linear cost (explode K rows/doc + one doc_id groupBy).
@@ -148,7 +220,18 @@ def band_signatures(docs: DataFrame) -> DataFrame:
     the corpus's signatures are written once (bucketed on ``bucket``,
     see ``engine/bucketing.py``) and each new-data increment joins
     against them without recomputing the corpus (``dedup_incremental``).
-    Docs whose shingle set is empty (< NGRAM words) produce no rows."""
+    Docs whose shingle set is empty (< NGRAM words) produce no rows.
+
+    ``n_hashes``/``n_bands`` select the (K, b) operating point — the
+    defaults are the catalog's pinned production point; the measured
+    recall/precision trade-off across the grid lives in
+    ``BENCH/lsh_tuning.json`` (``tools/bench_lsh_tuning.py``)."""
+    n_hashes = n_hashes if n_hashes is not None else MINHASH_K
+    n_bands = n_bands if n_bands is not None else LSH_BANDS
+    assert n_hashes % n_bands == 0, (n_hashes, n_bands)
+    # h1 + (K-1)*h2 must stay inside signed-64: K * 2^59 < 2^63 + slack
+    # holds exactly up to K = 16 for MINHASH_P = 2^59 - 55.
+    assert n_hashes <= 16, n_hashes
     sh = docs.select("doc_id", F.explode(shingles_col()).alias("s"))
     hh = sh.select(
         "doc_id",
@@ -157,10 +240,10 @@ def band_signatures(docs: DataFrame) -> DataFrame:
     mh = hh.groupBy("doc_id").agg(
         *[F.min((F.col("h1") + F.lit(k) * F.col("h2")) % MINHASH_P)
           .alias(f"mh{k}")
-          for k in range(MINHASH_K)])
-    rows_per_band = MINHASH_K // LSH_BANDS
+          for k in range(n_hashes)])
+    rows_per_band = n_hashes // n_bands
     bands = []
-    for b in range(LSH_BANDS):
+    for b in range(n_bands):
         cols = [F.col(f"mh{b * rows_per_band + r}").cast("string")
                 for r in range(rows_per_band)]
         bands.append(mh.select(
@@ -172,11 +255,12 @@ def band_signatures(docs: DataFrame) -> DataFrame:
     return bb
 
 
-def _lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+def _lsh_candidate_pairs(docs: DataFrame, n_hashes: "int | None" = None,
+                         n_bands: "int | None" = None) -> DataFrame:
     """MinHash+LSH candidate pairs (doc_a < doc_b): docs sharing any
     band bucket (see :func:`band_signatures`) are candidates — one
     shuffle on (band, bucket), no corpus self-join."""
-    bb = band_signatures(docs)
+    bb = band_signatures(docs, n_hashes=n_hashes, n_bands=n_bands)
     a = bb.alias("a")
     b2 = bb.alias("b")
     pairs = (a.join(b2, (F.col("a.band") == F.col("b.band"))
@@ -1487,6 +1571,7 @@ QUERIES = {
     "dedup_chunk_crossdoc": q_dedup_chunk_crossdoc,
     "dedup_chunk_clean": q_dedup_chunk_clean,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_jaccard_groundtruth": q_dedup_jaccard_groundtruth,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_edit_distance": q_dedup_edit_distance,
     "dedup_incremental": q_dedup_incremental,
@@ -1503,6 +1588,7 @@ ORACLES = {
     "dedup_chunk_crossdoc": ORACLE_DEDUP_CHUNK_CROSSDOC,
     "dedup_chunk_clean": ORACLE_DEDUP_CHUNK_CLEAN,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
+    "dedup_jaccard_groundtruth": ORACLE_DEDUP_JACCARD_GROUNDTRUTH,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_edit_distance": ORACLE_DEDUP_EDIT_DISTANCE,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,

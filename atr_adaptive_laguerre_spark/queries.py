@@ -603,6 +603,52 @@ ORDER BY event_id
 """
 
 
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull the integer ``k`` out of the
+    ``props`` JSON payload with Spark's native JSON path expression
+    (``get_json_object`` — Catalyst codegen, no Python), then aggregate
+    per (event_type, k-decile).  The web-pipeline shape: event payloads
+    land as JSON strings and the extraction must stay in-plan so the
+    scan's column pruning and the partial aggregation both survive —
+    at 100 TB the JSON parse is the map side of ONE shuffle keyed by
+    the (low-cardinality) group key, and the per-term micro-quantized
+    value sums (``_u6``) keep the cross-partition total exact in any
+    fetch order."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (ev.select("event_type", k.alias("k"), "value")
+            .withColumn("k_decile", F.floor(F.col("k") / 10).cast("int"))
+            .groupBy("event_type", "k_decile")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("k").alias("n_keys"),
+                 F.min("k").alias("k_min"),
+                 F.max("k").alias("k_max"),
+                 (F.sum(_u6(F.col("value"))) / F.lit(1000000.0))
+                 .alias("sum_value"))
+            .orderBy("event_type", "k_decile"))
+
+
+ORACLE_EVENTS_JSON_EXTRACT = """
+WITH e AS (
+  SELECT event_type,
+         json_extract_string(props, '$.k')::INT AS k,
+         value
+  FROM events
+)
+SELECT event_type,
+       CAST(FLOOR(k / 10.0) AS INT) AS k_decile,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT k) AS n_keys,
+       MIN(k) AS k_min,
+       MAX(k) AS k_max,
+       SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0
+         AS sum_value
+FROM e
+GROUP BY event_type, k_decile
+ORDER BY event_type, k_decile
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -622,6 +668,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_orders": q_asof_join_orders,
     "resample_ohlcv_1h": q_resample_ohlcv_1h,
     "events_ffill_bfill": q_events_ffill_bfill,
+    "events_json_extract": q_events_json_extract,
 }
 
 def _merge_operator_modules() -> None:
@@ -662,6 +709,7 @@ ORACLES: dict[str, str] = {
     "asof_join_orders": ORACLE_ASOF_JOIN_ORDERS,
     "resample_ohlcv_1h": ORACLE_RESAMPLE_OHLCV_1H,
     "events_ffill_bfill": ORACLE_EVENTS_FFILL_BFILL,
+    "events_json_extract": ORACLE_EVENTS_JSON_EXTRACT,
 }
 
 

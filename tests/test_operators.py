@@ -2415,3 +2415,48 @@ def test_ann_rp_topk_recall_vs_exact(spark):
         r = set(rp[rp.query_id == qid]["cand_id"])
         recalls.append(len(e & r) / len(e))
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_jaccard_groundtruth_superset_of_verified(spark):
+    """The exhaustive pair list is the ground truth the LSH pipeline
+    approximates: every LSH-verified pair must appear in it with the
+    IDENTICAL exact-Jaccard value (same shingle sets, same quantizer),
+    and the exhaustive list may only ADD pairs (LSH misses)."""
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        _docs, exact_jaccard_pairs, verified_jaccard_pairs,
+    )
+
+    docs = _docs(spark, SF)
+    truth = {(r["doc_a"], r["doc_b"]): (r["n_inter"], r["jaccard"])
+             for r in exact_jaccard_pairs(docs).collect()}
+    verified = {(r["doc_a"], r["doc_b"]): (r["n_inter"], r["jaccard"])
+                for r in verified_jaccard_pairs(docs).collect()}
+    assert verified, "corpus should contain near-dup pairs"
+    for pair, vals in verified.items():
+        assert truth.get(pair) == vals, (pair, vals, truth.get(pair))
+    assert len(truth) >= len(verified)
+
+
+def test_lsh_band_tradeoff_monotone(spark):
+    """More bands of fewer rows = a more permissive candidate filter:
+    with K=12 minhashes, recall against the exhaustive ground truth
+    must be non-decreasing in the band count, and the candidate count
+    non-decreasing too (the verify-load price of that recall).  The
+    catalog's pinned (12, 4) point must sit at the recall the measured
+    curve shows (BENCH/lsh_tuning.json)."""
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        _docs, _lsh_candidate_pairs, exact_jaccard_pairs,
+    )
+
+    docs = _docs(spark, SF)
+    truth = {(r["doc_a"], r["doc_b"])
+             for r in exact_jaccard_pairs(docs).collect()}
+    assert truth
+    stats = {}
+    for n_bands in (1, 4, 12):
+        cand = {(r["doc_a"], r["doc_b"])
+                for r in _lsh_candidate_pairs(
+                    docs, n_hashes=12, n_bands=n_bands).collect()}
+        stats[n_bands] = (len(truth & cand) / len(truth), len(cand))
+    assert stats[1][0] <= stats[4][0] <= stats[12][0], stats
+    assert stats[1][1] <= stats[4][1] <= stats[12][1], stats

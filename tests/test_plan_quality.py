@@ -602,3 +602,29 @@ def test_ann_rp_topk_shortlist_never_carries_vectors(spark):
     for line in plan.splitlines():
         if "BroadcastHashJoin" in line:
             assert "cand_id" in line or "query_id" in line, line
+
+
+def test_jaccard_groundtruth_no_cartesian(spark):
+    """The exhaustive Jaccard baseline must still avoid the corpus
+    cross join: pairs materialize through a shingle-EQUALITY self-join
+    (hot shingles are its documented quadratic term), never a
+    cartesian."""
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        q_dedup_jaccard_groundtruth,
+    )
+
+    plan = _plan(q_dedup_jaccard_groundtruth(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_events_json_extract_stays_in_plan(spark):
+    """JSON payload extraction must run as a Catalyst expression on the
+    scan's map side (partial aggregation before the one group-key
+    shuffle), never as a Python UDF."""
+    from atr_adaptive_laguerre_spark.queries import q_events_json_extract
+
+    plan = _plan(q_events_json_extract(spark, SF))
+    assert "get_json_object" in plan, plan
+    assert "Python" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan

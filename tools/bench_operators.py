@@ -81,6 +81,7 @@ OPERATOR_QUERIES = [
     "embedding_random_projection",
     "corpus_ngram_topk",
     "ann_rp_topk",
+    "dedup_jaccard_groundtruth",
 ]
 
 
