@@ -24,3 +24,47 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if df.rdd.getNumPartitions() < p:
         return df.repartition(p)
     return df
+
+
+def read_jsonl(spark: SparkSession, path: str, schema,
+               corrupt_col: str = "_corrupt_record") -> DataFrame:
+    """JSON-lines source with a REQUIRED schema.
+
+    Two deliberate production choices:
+
+    * **No schema inference.**  Inference is a full extra pass over the
+      input — at 100 TB that doubles the scan before any work starts,
+      and a drifting upstream producer silently changes the inferred
+      types between runs.  The caller states the contract; the reader
+      enforces it.
+    * **PERMISSIVE + corrupt-record routing.**  Web-scale JSONL always
+      contains malformed lines; FAILFAST would kill a 1000-executor
+      job hours in over one bad record.  Malformed lines land whole in
+      ``corrupt_col`` (the parsed columns null) so the pipeline can
+      count / quarantine them with a filter instead of dying —
+      ``df.filter(col(corrupt_col).isNotNull())`` is the dead-letter
+      stream, and the same expression's complement gates clean rows.
+
+    Spark caveat: a query that references ONLY ``corrupt_col`` on the
+    raw scan raises ``QUERY_ONLY_CORRUPT_RECORD_COLUMN`` — ``cache()``
+    the returned frame (or project data columns alongside) before
+    counting the dead-letter stream alone.
+    """
+    from pyspark.sql.types import StringType, StructType
+
+    full = StructType(list(schema.fields))
+    if corrupt_col not in full.fieldNames():
+        full = full.add(corrupt_col, StringType())
+    return (spark.read.schema(full)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+            .json(path))
+
+
+def write_jsonl(df: DataFrame, path: str,
+                compression: str = "gzip") -> None:
+    """JSON-lines sink (one JSON object per line, splittable-at-scale
+    layout: one file per partition, compressed per file — the standard
+    interchange format for raw text corpora)."""
+    df.write.mode("overwrite").option("compression", compression) \
+        .json(path)

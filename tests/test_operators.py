@@ -2460,3 +2460,42 @@ def test_lsh_band_tradeoff_monotone(spark):
         stats[n_bands] = (len(truth & cand) / len(truth), len(cand))
     assert stats[1][0] <= stats[4][0] <= stats[12][0], stats
     assert stats[1][1] <= stats[4][1] <= stats[12][1], stats
+
+
+def test_jsonl_roundtrip_and_corrupt_routing(spark, tmp_path):
+    """JSONL source/sink: documents round-trip value-exactly through
+    the schema-required reader (no inference pass), and a planted
+    malformed line routes WHOLE into the corrupt-record column while
+    every good row survives — the dead-letter contract a 1000-executor
+    ingest relies on instead of FAILFAST."""
+    from pyspark.sql import functions as F
+
+    from atr_adaptive_laguerre_spark.operators.io import (
+        read_jsonl, read_table, write_jsonl,
+    )
+
+    docs = read_table(spark, SF, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out)
+    # Spark disallows queries touching ONLY the corrupt column on a raw
+    # scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the
+    # documented pattern is to cache the parsed frame first.
+    back = read_jsonl(spark, out, docs.schema).cache()
+    assert back.filter(F.col("_corrupt_record").isNotNull()).count() == 0
+    a = docs.orderBy("doc_id").toPandas()
+    b = (back.select(*docs.columns).orderBy("doc_id").toPandas())
+    assert a.equals(b), (a.head(), b.head())
+
+    # plant one malformed line among good ones
+    bad_dir = tmp_path / "bad_jsonl"
+    bad_dir.mkdir()
+    good = '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}'
+    (bad_dir / "part-0.json").write_text(
+        good + "\n" + '{"doc_id": 2, "text": BROKEN' + "\n"
+        + good.replace('"doc_id": 1', '"doc_id": 3') + "\n")
+    got = read_jsonl(spark, str(bad_dir), docs.schema).cache()
+    dead = got.filter(F.col("_corrupt_record").isNotNull())
+    assert dead.count() == 1
+    assert "BROKEN" in dead.collect()[0]["_corrupt_record"]
+    clean = got.filter(F.col("_corrupt_record").isNull())
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 3]
