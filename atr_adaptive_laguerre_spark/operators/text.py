@@ -649,12 +649,17 @@ ORDER BY rank
 """
 
 
-def bpe_train(docs: DataFrame, n_merges: int = 8) -> list[str]:
+def bpe_train(docs: DataFrame,
+              n_merges: int = 8) -> "list[tuple[str, str]]":
     """Train ``n_merges`` BPE merges on the corpus (Sennrich et al.
     2016, algorithm 1): start from character symbols, repeatedly count
     adjacent symbol pairs over the (distinct-word, frequency)
-    vocabulary and merge the most frequent pair (ties by pair string —
-    a total, engine-independent order).
+    vocabulary and merge the most frequent pair (ties by the wrapped
+    pair string ``<a><b>`` — the same total, engine-independent order
+    the oracle-gated :func:`q_bpe_train_merges` pins, split-AWARE:
+    two different splits concatenating to the same text are distinct
+    pairs).  Returns ``(a, b)`` tuples, directly consumable by
+    :func:`bpe_encode_col` — train once, encode everywhere.
 
     Distribution: the corpus collapses to the vocabulary ONCE (the only
     corpus-scale shuffle); each iteration is a vocab-linear pair count
@@ -672,30 +677,34 @@ def bpe_train(docs: DataFrame, n_merges: int = 8) -> list[str]:
         "c", F.expr("transform(sequence(1, length(w)), "
                     "i -> substring(w, i, 1))").alias("s"))
     sym = sym.localCheckpoint()
-    merges: list[str] = []
+    merges: "list[tuple[str, str]]" = []
     for _ in range(n_merges):
         best = (sym.select(
             "c", F.explode(F.expr(
                 # sequence(1, 0) DESCENDS in Spark — guard 1-symbol
                 # words with an explicit empty array
-                "IF(size(s) < 2, cast(array() as array<string>), "
+                "IF(size(s) < 2, "
+                "cast(array() as array<struct<a:string,b:string>>), "
                 "transform(sequence(1, size(s) - 1), "
-                "i -> concat(s[i - 1], s[i])))")).alias("pair"))
-            .groupBy("pair").agg(F.sum("c").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "pair")
+                "i -> struct(s[i - 1] as a, s[i] as b)))")).alias("p"))
+            .groupBy("p").agg(F.sum("c").alias("cnt"))
+            .orderBy(F.col("cnt").desc(),
+                     F.concat(F.lit("<"), F.col("p.a"), F.lit("><"),
+                              F.col("p.b"), F.lit(">")))
             .limit(1).collect())
         if not best:
             break
-        p = best[0]["pair"]
-        merges.append(p)
-        p_lit = p.replace("\\", "\\\\").replace("'", "\\'")
+        a, b = best[0]["p"]["a"], best[0]["p"]["b"]
+        merges.append((a, b))
+        a_lit = a.replace("\\", "\\\\").replace("'", "\\'")
+        b_lit = b.replace("\\", "\\\\").replace("'", "\\'")
         # left-to-right fold: pend holds the previous symbol; when
-        # (pend, x) concatenates to the learned pair they fuse,
-        # otherwise pend is emitted and x becomes the new pend
+        # (pend, x) IS the learned (a, b) pair they fuse, otherwise
+        # pend is emitted and x becomes the new pend
         merged = F.expr(
             "aggregate(slice(s, 2, size(s) - 1), "
             "struct(cast(array() as array<string>) as out, s[0] as pend), "
-            f"(acc, x) -> IF(concat(acc.pend, x) = '{p_lit}', "
+            f"(acc, x) -> IF(acc.pend = '{a_lit}' AND x = '{b_lit}', "
             "struct(concat(acc.out, array(concat(acc.pend, x))) as out, "
             "cast(null as string) as pend), "
             "IF(acc.pend is null, "

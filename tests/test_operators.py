@@ -1043,22 +1043,27 @@ def test_bpe_train_matches_reference_python(spark):
                 vocab[tuple(w)] += 1
 
     def ref_merges(vocab, n):
+        # split-AWARE pairs (the q_bpe_train_merges contract): two
+        # splits concatenating to the same text are distinct; ties by
+        # the wrapped pair string <a><b>
         merges = []
         vocab = dict(vocab)
         for _ in range(n):
             pc = Counter()
             for syms, c in vocab.items():
                 for i in range(len(syms) - 1):
-                    pc[syms[i] + syms[i + 1]] += c
+                    pc[(syms[i], syms[i + 1])] += c
             if not pc:
                 break
-            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            best = min(pc.items(),
+                       key=lambda kv: (-kv[1],
+                                       f"<{kv[0][0]}><{kv[0][1]}>"))[0]
             merges.append(best)
             new = {}
             for syms, c in vocab.items():
                 out, pend = [], None
                 for x in syms:
-                    if pend is not None and pend + x == best:
+                    if pend is not None and (pend, x) == best:
                         out.append(pend + x)
                         pend = None
                     elif pend is None:
@@ -1274,21 +1279,10 @@ def test_bpe_encode_roundtrip_with_trained_merges(spark):
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
-    merged = bpe_train(docs, n_merges=6)
-    # trainer emits concatenated pair strings; re-derive (a, b) splits
-    # by recursively checking against already-known symbols
-    known = set()
-    pairs = []
-    for m in merged:
-        split = None
-        for cut in range(1, len(m)):
-            a, b = m[:cut], m[cut:]
-            if (len(a) == 1 or a in known) and (len(b) == 1 or b in known):
-                split = (a, b)
-                break
-        assert split, m
-        pairs.append(split)
-        known.add(m)
+    # the trainer returns (a, b) splits directly — train once, encode
+    # everywhere (the composed tokenizer pipeline)
+    pairs = bpe_train(docs, n_merges=6)
+    assert all(isinstance(p, tuple) and len(p) == 2 for p in pairs)
     enc = (docs.select("doc_id", F.col("text"),
                        bpe_encode_col(F.col("text"), pairs).alias("e"))
            .toPandas())
