@@ -117,6 +117,27 @@ PLAN_NOTES = {
                                "centroids/codebooks/per-cell LUTs all "
                                "broadcast; normalization + residual "
                                "subtraction ride the scan in codegen",
+    "embedding_random_projection": "pure per-row Catalyst expression — "
+                                   "zero exchanges, zero joins, zero "
+                                   "Python; the 100 TB dim-reduction "
+                                   "map stage",
+    "corpus_ngram_topk": "one gram-hash exchange + partial agg; "
+                         "global top-N as TakeOrderedAndProject "
+                         "(no range-partition sort)",
+    "ann_rp_topk": "stage-1 corpus stream carries only (cand_id, "
+                   "k bigints) — the 64-d vector re-enters via "
+                   "broadcast id-joins in the rerank stage; no SMJ, "
+                   "one BroadcastNestedLoopJoin (the 20-query "
+                   "broadcast)",
+    "dedup_jaccard_groundtruth": "the exhaustive baseline: "
+                                 "shingle-EQUALITY self-join (never a "
+                                 "cartesian) + (doc_a, doc_b) groupBy "
+                                 "— the documented quadratic-per-hot-"
+                                 "shingle harness the LSH curve is "
+                                 "tuned against",
+    "events_json_extract": "get_json_object stays in codegen on the "
+                           "scan's map side; partial agg before the "
+                           "one group-key exchange; no Python",
     "hybrid_search_rrf": "sparse list = posting-filtered BM25 "
                          "TakeOrdered top-R (localCheckpoint: ONE "
                          "corpus scan for its two consumers); dense "
