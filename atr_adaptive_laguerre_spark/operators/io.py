@@ -61,6 +61,27 @@ def read_jsonl(spark: SparkSession, path: str, schema,
             .json(path))
 
 
+def read_jsonl_stream(spark: SparkSession, path: str, schema,
+                      corrupt_col: str = "_corrupt_record") -> DataFrame:
+    """Streaming twin of :func:`read_jsonl`: the same REQUIRED-schema +
+    PERMISSIVE dead-letter contract over Structured Streaming's file
+    source (new files under ``path`` become micro-batches).  The
+    continuous-ingest shape: a 100 TB corpus doesn't arrive at once —
+    crawl shards land as JSONL files and each micro-batch flows through
+    the same gates (dedup index, DSIR model, quality filters) via
+    ``foreachBatch``, with ``trigger(availableNow=True)`` draining the
+    backlog for batch-parity runs."""
+    from pyspark.sql.types import StringType, StructType
+
+    full = StructType(list(schema.fields))
+    if corrupt_col not in full.fieldNames():
+        full = full.add(corrupt_col, StringType())
+    return (spark.readStream.schema(full)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+            .json(path))
+
+
 def write_jsonl(df: DataFrame, path: str,
                 compression: str = "gzip") -> None:
     """JSON-lines sink (one JSON object per line, splittable-at-scale

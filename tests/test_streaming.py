@@ -914,3 +914,45 @@ def test_stream_semantic_index_append_grows_served_corpus(spark, tmp_path):
     stream_semantic_index_append(spark, input_dir, idx, ckpt)
     _, grown = _read_semantic_index(spark, idx)
     assert grown.count() == 500
+
+
+def test_jsonl_stream_ingest_matches_batch(spark, tmp_path):
+    """Streaming JSONL ingest == batch JSONL read on the same files:
+    the schema-required file-stream source drains the backlog with
+    availableNow and delivers exactly the batch reader's rows — clean
+    rows identical, the planted malformed line routed to the
+    corrupt-record dead-letter column in BOTH modes."""
+    from pyspark.sql import functions as F
+
+    from atr_adaptive_laguerre_spark.operators.io import (
+        read_jsonl, read_jsonl_stream, read_table, write_jsonl,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    src = tmp_path / "stream_src"
+    write_jsonl(docs.limit(200), str(src))
+    good = ('{"doc_id": 9000001, "text": "late shard", "lang": "en", '
+            '"source": "crawl", "n_chars": 10}')
+    (src / "late-shard.json").write_text(
+        good + "\n" + '{"doc_id": 9000002, OOPS' + "\n")
+
+    batches = []
+    q = (read_jsonl_stream(spark, str(src), docs.schema)
+         .writeStream
+         .foreachBatch(lambda bdf, bid: batches.append(bdf.toPandas()))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+
+    import pandas as pd
+    got = pd.concat(batches, ignore_index=True)
+    want = read_jsonl(spark, str(src), docs.schema).cache().toPandas()
+    assert len(got) == len(want)
+    key = [c for c in want.columns if c != "_corrupt_record"]
+    g = got.sort_values("doc_id", na_position="last").reset_index(drop=True)
+    w = want.sort_values("doc_id", na_position="last").reset_index(drop=True)
+    assert g[key].equals(w[key]), (g.head(), w.head())
+    dead_g = got["_corrupt_record"].dropna().tolist()
+    dead_w = want["_corrupt_record"].dropna().tolist()
+    assert dead_g == dead_w and len(dead_g) == 1 and "OOPS" in dead_g[0]
