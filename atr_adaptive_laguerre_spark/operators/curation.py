@@ -533,6 +533,71 @@ ORDER BY source
 """
 
 
+#: weighted-sample size and the key-quantization grid (see
+#: :func:`q_corpus_sample_weighted`).
+WEIGHTED_SAMPLE_N = 50
+PRIO_GRID = 1e12
+
+
+def q_corpus_sample_weighted(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006 priority sampling): each doc draws a deterministic
+    hash-uniform u ∈ (0, 1) and competes with key u^(1/w), w = its
+    char length; the global top-``WEIGHTED_SAMPLE_N`` keys ARE a
+    w-weighted sample without replacement.  The length-proportional
+    draw a mixture pipeline uses when "sample 1 % of the TOKENS, not
+    1 % of the docs" is the actual budget.
+
+    Scale shape: key assignment is a stateless per-row expression
+    (no join, no corpus shuffle) and the global top-N plans as
+    ``TakeOrderedAndProject`` (per-partition heaps + driver merge,
+    plan-asserted) — ONE pass, no sort, no self-join, nothing
+    corpus-size-dependent on the driver.
+
+    Determinism: u is a 32-bit md5 slice (engine-portable integer
+    arithmetic) and the ranking key is ln(u)/w — monotone in
+    u^(1/w) — quantized to an integer 1e-12 grid BEFORE ranking with
+    doc_id tie-breaks, so sample membership is engine-identical (the
+    same quantize-then-rank idiom as the cosine top-k family; docs
+    whose key collapses onto the same grid cell resolve by id in both
+    engines)."""
+    docs = read_table(spark, sf_dir, "documents")
+    m = float(16 ** 8)
+    u = ((F.conv(F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#prio"))),
+        1, 8), 16, 10).cast("double") + F.lit(1.0)) / F.lit(m + 1.0))
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    key_q = F.floor(F.log(u) / w * F.lit(PRIO_GRID)).cast("bigint")
+    ranked = (docs.select("doc_id", "source", "n_chars",
+                          key_q.alias("key_q"))
+              .orderBy(F.col("key_q").desc(), F.col("doc_id").asc())
+              .limit(WEIGHTED_SAMPLE_N))
+    win = Window.orderBy(F.col("key_q").desc(), F.col("doc_id").asc())
+    return (ranked.withColumn("rank", F.row_number().over(win))
+            .select("rank", "doc_id", "source", "n_chars", "key_q")
+            .orderBy("rank"))
+
+
+ORACLE_CORPUS_SAMPLE_WEIGHTED = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         FLOOR(ln((('0x' || substr(md5(doc_id::VARCHAR || '#prio'), 1, 8))
+                     ::BIGINT + 1.0) / {float(16 ** 8) + 1.0})
+               / GREATEST(n_chars, 1)
+               * {PRIO_GRID})::BIGINT AS key_q
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, n_chars, key_q,
+         ROW_NUMBER() OVER (ORDER BY key_q DESC, doc_id ASC) AS rank
+  FROM keyed
+)
+SELECT rank, doc_id, source, n_chars, key_q
+FROM ranked WHERE rank <= {WEIGHTED_SAMPLE_N}
+ORDER BY rank
+"""
+
+
 CONTAM_NGRAM = 8
 BENCHMARK_SOURCE = "src0"
 
@@ -1332,6 +1397,7 @@ QUERIES = {
     "corpus_curation_neardup": q_corpus_curation_neardup,
     "corpus_curation_quantile": q_corpus_curation_quantile,
     "corpus_sample_stratified": q_corpus_sample_stratified,
+    "corpus_sample_weighted": q_corpus_sample_weighted,
     "contamination_check": q_contamination_check,
     "decontaminate": q_decontaminate,
     "train_val_split": q_train_val_split,
@@ -1349,6 +1415,7 @@ ORACLES = {
     "corpus_curation_neardup": _oracle_corpus_curation_neardup(),
     "corpus_curation_quantile": ORACLE_CORPUS_CURATION_QUANTILE,
     "corpus_sample_stratified": ORACLE_CORPUS_SAMPLE_STRATIFIED,
+    "corpus_sample_weighted": ORACLE_CORPUS_SAMPLE_WEIGHTED,
     "contamination_check": ORACLE_CONTAMINATION_CHECK,
     "decontaminate": ORACLE_DECONTAMINATE,
     "train_val_split": ORACLE_TRAIN_VAL_SPLIT,

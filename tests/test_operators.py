@@ -2493,3 +2493,21 @@ def test_jsonl_roundtrip_and_corrupt_routing(spark, tmp_path):
     assert "BROKEN" in dead.collect()[0]["_corrupt_record"]
     clean = got.filter(F.col("_corrupt_record").isNull())
     assert sorted(r["doc_id"] for r in clean.collect()) == [1, 3]
+
+
+def test_weighted_sample_favors_long_docs(spark):
+    """Priority sampling with w = n_chars must actually weight: the
+    sampled docs' mean length exceeds the corpus mean (deterministic
+    corpus + deterministic hash-uniforms -> a fixed, checkable
+    sample), ranks are contiguous from 1, and keys are non-increasing
+    with id tie-breaks."""
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        q_corpus_sample_weighted,
+    )
+
+    p = q_corpus_sample_weighted(spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    assert list(p["rank"]) == list(range(1, len(p) + 1))
+    assert (p["key_q"].diff().dropna() <= 0).all()
+    assert p["n_chars"].mean() > docs["n_chars"].mean(), (
+        p["n_chars"].mean(), docs["n_chars"].mean())

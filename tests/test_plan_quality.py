@@ -628,3 +628,18 @@ def test_events_json_extract_stays_in_plan(spark):
     assert "get_json_object" in plan, plan
     assert "Python" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_weighted_sample_one_pass_topn(spark):
+    """Priority sampling is ONE corpus pass: stateless per-row key,
+    global top-N as TakeOrderedAndProject — no joins, no
+    range-partition sort, no aggregation shuffle."""
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        q_corpus_sample_weighted,
+    )
+
+    plan = _plan(q_corpus_sample_weighted(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan

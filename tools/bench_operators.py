@@ -82,6 +82,7 @@ OPERATOR_QUERIES = [
     "corpus_ngram_topk",
     "ann_rp_topk",
     "dedup_jaccard_groundtruth",
+    "corpus_sample_weighted",
 ]
 
 
