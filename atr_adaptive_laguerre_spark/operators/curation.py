@@ -539,6 +539,22 @@ WEIGHTED_SAMPLE_N = 50
 PRIO_GRID = 1e12
 
 
+def priority_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_chars, key_q): the deterministic
+    Efraimidis-Spirakis priority key of every doc (see
+    :func:`q_corpus_sample_weighted` for semantics).  Stateless per-row
+    expression — shared by the batch query and the streaming
+    reservoir."""
+    m = float(16 ** 8)
+    u = ((F.conv(F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#prio"))),
+        1, 8), 16, 10).cast("double") + F.lit(1.0)) / F.lit(m + 1.0))
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    key_q = F.floor(F.log(u) / w * F.lit(PRIO_GRID)).cast("bigint")
+    return docs.select("doc_id", "source", "n_chars",
+                       key_q.alias("key_q"))
+
+
 def q_corpus_sample_weighted(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
@@ -563,14 +579,7 @@ def q_corpus_sample_weighted(spark: SparkSession,
     whose key collapses onto the same grid cell resolve by id in both
     engines)."""
     docs = read_table(spark, sf_dir, "documents")
-    m = float(16 ** 8)
-    u = ((F.conv(F.substring(
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#prio"))),
-        1, 8), 16, 10).cast("double") + F.lit(1.0)) / F.lit(m + 1.0))
-    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
-    key_q = F.floor(F.log(u) / w * F.lit(PRIO_GRID)).cast("bigint")
-    ranked = (docs.select("doc_id", "source", "n_chars",
-                          key_q.alias("key_q"))
+    ranked = (priority_keys(docs)
               .orderBy(F.col("key_q").desc(), F.col("doc_id").asc())
               .limit(WEIGHTED_SAMPLE_N))
     win = Window.orderBy(F.col("key_q").desc(), F.col("doc_id").asc())

@@ -220,3 +220,63 @@ def stream_chunk_clean(spark: SparkSession, input_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+SAMPLE_DOC_SCHEMA = "doc_id long, source string, n_chars long"
+SAMPLE_OUT_SCHEMA = "doc_id long, source string, n_chars long, key_q long"
+
+
+def stream_sample_weighted(spark: SparkSession, input_dir: str,
+                           sample_dir: str, checkpoint_dir: str,
+                           n: int | None = None) -> None:
+    """Streaming weighted reservoir: maintain the EXACT
+    Efraimidis-Spirakis top-``n`` priority sample as document shards
+    arrive.  Each micro-batch computes its docs' deterministic priority
+    keys (:func:`...operators.curation.priority_keys`), takes the
+    batch-local top-``n``, merges it with the persisted current sample,
+    and overwrites the sample with the merged top-``n``.
+
+    Exactness: top-n(all docs so far) = top-n(top-n(earlier) ∪
+    top-n(batch)) — the reservoir-merge property of priority sampling
+    (any doc outside its own batch's top-n is beaten by n docs that
+    ARE carried forward), so the streamed sample is row-identical to
+    the batch ``corpus_sample_weighted`` over the concatenated corpus
+    (tested).  Retries are idempotent for the same reason: re-merging
+    docs already in the sample changes nothing (doc_id-level dedup on
+    merge guards the equal-key edge).
+
+    Scale shape: per micro-batch ONE TakeOrderedAndProject over the
+    batch; the carried state is the n-row sample itself — O(n) driver
+    bookkeeping, independent of corpus size (the same bounded-driver
+    adjudication as the nprobe cell lists)."""
+    from pyspark.errors import AnalysisException
+
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        WEIGHTED_SAMPLE_N, priority_keys,
+    )
+
+    k = WEIGHTED_SAMPLE_N if n is None else n
+
+    def process(batch, batch_id: int) -> None:
+        sp = batch.sparkSession
+        cand = (priority_keys(batch)
+                .orderBy(F.col("key_q").desc(), F.col("doc_id").asc())
+                .limit(k).collect())
+        try:
+            cur = sp.read.parquet(sample_dir).collect()
+        except AnalysisException:
+            cur = []
+        best: dict[int, tuple] = {}
+        for r in list(cur) + list(cand):
+            best[r["doc_id"]] = (r["doc_id"], r["source"],
+                                 r["n_chars"], r["key_q"])
+        merged = sorted(best.values(), key=lambda t: (-t[3], t[0]))[:k]
+        (sp.createDataFrame(merged, SAMPLE_OUT_SCHEMA)
+         .coalesce(1).write.mode("overwrite").parquet(sample_dir))
+
+    sdf = spark.readStream.schema(SAMPLE_DOC_SCHEMA).parquet(input_dir)
+    q = (sdf.writeStream.foreachBatch(process)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -956,3 +956,57 @@ def test_jsonl_stream_ingest_matches_batch(spark, tmp_path):
     dead_g = got["_corrupt_record"].dropna().tolist()
     dead_w = want["_corrupt_record"].dropna().tolist()
     assert dead_g == dead_w and len(dead_g) == 1 and "OOPS" in dead_g[0]
+
+
+def test_stream_sample_weighted_matches_batch(spark, tmp_path):
+    """The streaming weighted reservoir equals the batch priority
+    sample over the concatenated corpus: after two stream invocations
+    (second shard arriving later, resuming from the checkpoint), the
+    persisted n-row sample is row-identical — same docs, same order,
+    same keys — to corpus_sample_weighted over the full corpus."""
+    from pyspark.sql import functions as F
+
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        q_corpus_sample_weighted,
+    )
+    from atr_adaptive_laguerre_spark.streaming.dedup import (
+        stream_sample_weighted,
+    )
+
+    sfd = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sfd}/documents.parquet") \
+        .select("doc_id", "source", "n_chars")
+    inp = tmp_path / "in"
+    inp.mkdir()
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    half_a.coalesce(1).write.mode("overwrite") \
+        .parquet(str(inp / "shard_a"))
+    # file source watches a flat dir of files; move the part file up
+    import glob
+    import shutil
+    for i, d in enumerate(["shard_a"]):
+        part = glob.glob(str(inp / d / "part-*.parquet"))[0]
+        shutil.move(part, str(inp / f"{d}.parquet"))
+        shutil.rmtree(str(inp / d))
+
+    sample_dir = str(tmp_path / "sample")
+    ckpt = str(tmp_path / "ckpt")
+    stream_sample_weighted(spark, str(inp), sample_dir, ckpt)
+    got_a = spark.read.parquet(sample_dir).toPandas()
+    assert len(got_a) == 50
+
+    half_b.coalesce(1).write.mode("overwrite") \
+        .parquet(str(inp / "shard_b"))
+    part = glob.glob(str(inp / "shard_b" / "part-*.parquet"))[0]
+    shutil.move(part, str(inp / "shard_b.parquet"))
+    shutil.rmtree(str(inp / "shard_b"))
+    stream_sample_weighted(spark, str(inp), sample_dir, ckpt)
+
+    got = (spark.read.parquet(sample_dir).toPandas()
+           .sort_values(["key_q", "doc_id"],
+                        ascending=[False, True]).reset_index(drop=True))
+    want = (q_corpus_sample_weighted(spark, sfd).toPandas()
+            .sort_values("rank").reset_index(drop=True))
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["key_q"]) == list(want["key_q"])
