@@ -165,6 +165,91 @@ def exact_jaccard_pairs(docs: DataFrame) -> DataFrame:
                     _r6(F.col("jaccard")).alias("jaccard")))
 
 
+#: containment threshold: max(|A∩B|/|A|, |A∩B|/|B|) — the asymmetric
+#: near-dup signal Jaccard misses (a short doc quoted whole inside a
+#: long one has high containment but low Jaccard).
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def q_dedup_containment_pairs(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup pairs: shingle-sharing doc pairs where
+    max(|A∩B|/|A|, |A∩B|/|B|) >= ``CONTAINMENT_THRESHOLD`` — the
+    quote/subsumption detector (Broder's containment): a short doc
+    embedded whole in a long one scores containment ~1 while its
+    Jaccard \\|A∩B\\|/\\|A∪B\\| stays tiny, so the symmetric threshold
+    never fires.  Emitted with both directional containments AND the
+    Jaccard so downstream policy can distinguish "same doc" from "doc
+    A lives inside doc B".
+
+    Scale note (honest): MinHash-LSH candidates approximate JACCARD —
+    a contained short doc often shares no band bucket with its
+    container — so this query generates candidates from the
+    shingle-equality join (exact recall, quadratic per hot shingle,
+    same harness shape as :func:`exact_jaccard_pairs`).  The
+    production path at 100 TB partitions candidates by shingle
+    PREFIX-hash bands sized to the short side (the containment-LSH
+    trade documented in the docstring rather than pretended away)."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select("doc_id", F.explode(shingles_col()).alias("s"))
+    inter = (sh.alias("a")
+             .join(sh.alias("b"), (F.col("a.s") == F.col("b.s"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sz = docs.select("doc_id", F.size(shingles_col()).alias("n"))
+    j = (inter
+         .join(sz.select(F.col("doc_id").alias("doc_a"),
+                         F.col("n").alias("n_a")), "doc_a")
+         .join(sz.select(F.col("doc_id").alias("doc_b"),
+                         F.col("n").alias("n_b")), "doc_b")
+         .withColumn("cont_a", F.col("n_inter") / F.col("n_a"))
+         .withColumn("cont_b", F.col("n_inter") / F.col("n_b")))
+    return (j.filter(F.greatest("cont_a", "cont_b")
+                     >= CONTAINMENT_THRESHOLD)
+            .select("doc_a", "doc_b", "n_inter",
+                    _r6(F.col("cont_a")).alias("cont_a"),
+                    _r6(F.col("cont_b")).alias("cont_b"),
+                    _r6(F.col("n_inter")
+                        / (F.col("n_a") + F.col("n_b")
+                           - F.col("n_inter"))).alias("jaccard"))
+            .orderBy("doc_a", "doc_b"))
+
+
+ORACLE_DEDUP_CONTAINMENT_PAIRS = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), shl AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+{NGRAM - 1}], ' ')
+                        for i in range(1, length(words) - {NGRAM - 2})])
+           AS shingles
+  FROM w
+), sh AS (
+  SELECT doc_id, unnest(shingles) AS s FROM shl
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (
+  SELECT doc_id, len(shingles) AS n FROM shl
+)
+SELECT doc_a, doc_b, n_inter,
+       FLOOR((n_inter::DOUBLE / sa.n) * 1000000 + 0.5) / 1000000 AS cont_a,
+       FLOOR((n_inter::DOUBLE / sb.n) * 1000000 + 0.5) / 1000000 AS cont_b,
+       FLOOR((n_inter::DOUBLE / (sa.n + sb.n - n_inter))
+             * 1000000 + 0.5) / 1000000 AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE GREATEST(n_inter::DOUBLE / sa.n, n_inter::DOUBLE / sb.n)
+      >= {CONTAINMENT_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_dedup_jaccard_groundtruth(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Driver-facing exhaustive near-dup pair list (see
@@ -1572,6 +1657,7 @@ QUERIES = {
     "dedup_chunk_clean": q_dedup_chunk_clean,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_jaccard_groundtruth": q_dedup_jaccard_groundtruth,
+    "dedup_containment_pairs": q_dedup_containment_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_edit_distance": q_dedup_edit_distance,
     "dedup_incremental": q_dedup_incremental,
@@ -1589,6 +1675,7 @@ ORACLES = {
     "dedup_chunk_clean": ORACLE_DEDUP_CHUNK_CLEAN,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_jaccard_groundtruth": ORACLE_DEDUP_JACCARD_GROUNDTRUTH,
+    "dedup_containment_pairs": ORACLE_DEDUP_CONTAINMENT_PAIRS,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_edit_distance": ORACLE_DEDUP_EDIT_DISTANCE,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,

@@ -2511,3 +2511,52 @@ def test_weighted_sample_favors_long_docs(spark):
     assert (p["key_q"].diff().dropna() <= 0).all()
     assert p["n_chars"].mean() > docs["n_chars"].mean(), (
         p["n_chars"].mean(), docs["n_chars"].mean())
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """The asymmetric signal must actually be asymmetric somewhere:
+    planted pair — a short doc quoted whole inside a much longer one —
+    scores containment ~1 on the short side while its Jaccard sits
+    under the near-dup threshold; the symmetric ground-truth query
+    never reports it, the containment query must."""
+    import pandas as pd
+
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        ORACLE_DEDUP_CONTAINMENT_PAIRS, q_dedup_containment_pairs,
+    )
+
+    base = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    short = "alpha beta gamma delta epsilon zeta"
+    long_doc = (" ".join(f"w{i} x{i} y{i}" for i in range(60))
+                + " " + short + " "
+                + " ".join(f"p{i} q{i} r{i}" for i in range(60)))
+    planted = pd.DataFrame({
+        "doc_id": [900001, 900002],
+        "text": [short, long_doc],
+        "lang": ["en", "en"], "source": ["t", "t"],
+        "n_chars": [len(short), len(long_doc)]})
+    docs = pd.concat([base, planted], ignore_index=True)
+    sdf = spark.createDataFrame(docs)
+    sdf.createOrReplaceTempView("documents_planted")
+
+    from atr_adaptive_laguerre_spark.operators import dedup as D
+    pairs = None
+    try:
+        orig = D._docs
+        D._docs = lambda sp, sf: sdf
+        pairs = q_dedup_containment_pairs(spark, SF).toPandas()
+    finally:
+        D._docs = orig
+    hit = pairs[(pairs.doc_a == 900001) & (pairs.doc_b == 900002)]
+    assert len(hit) == 1, pairs.tail()
+    assert hit.iloc[0]["cont_a"] >= 0.99
+    assert hit.iloc[0]["jaccard"] < 0.2
+
+    # oracle twin agrees on the planted corpus
+    import duckdb
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(ORACLE_DEDUP_CONTAINMENT_PAIRS).fetchdf()
+    w = want[(want.doc_a == 900001) & (want.doc_b == 900002)]
+    assert len(w) == 1
+    assert abs(w.iloc[0]["cont_a"] - hit.iloc[0]["cont_a"]) < 1e-9
