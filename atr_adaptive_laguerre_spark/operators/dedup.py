@@ -250,6 +250,138 @@ ORDER BY doc_a, doc_b
 """
 
 
+#: bottom-k sketch width for containment candidate generation: a pair
+#: with containment >= CONTAINMENT_THRESHOLD misses ALL k of the
+#: contained side's smallest shingle hashes with probability
+#: <= (1 - threshold)^k = 2^-8 ~ 0.4% under min-wise hashing — and on
+#: the deterministic test corpora the measured recall vs the
+#: exhaustive query is exactly 1.0 (tested at sf0.001; hash-identical
+#: twins at sf0.01/sf0.1).
+CONTAINMENT_BOTTOM_K = 8
+
+
+def q_dedup_containment_lsh(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """The PRODUCTION path for containment near-dup pairs: bottom-k
+    sketch candidates + exact verify — same output contract as
+    :func:`q_dedup_containment_pairs` without its corpus-wide
+    shingle-equality join.
+
+    Candidate generation: every doc keeps only its
+    ``CONTAINMENT_BOTTOM_K`` smallest shingle hashes (a min-wise
+    bottom-k sketch).  If containment(A in B) >= t, each of A's
+    min-hashes lands in B's shingle set with probability >= t, so a
+    true pair shares at least one (sketch-hash, full-set) collision
+    with probability >= 1 - (1-t)^k.  Candidates are pairs where one
+    side's SKETCH hash matches the other side's FULL shingle stream —
+    k rows/doc join against the linear shingle stream, one hash-keyed
+    shuffle, never shingles x shingles.
+
+    Exact verify: candidates re-join the two distinct-shingle arrays
+    by doc id and compute true |A∩B| via ``array_intersect`` (the
+    :func:`verified_jaccard_pairs` idiom) — emitted rows carry EXACT
+    containments/Jaccard, so the sketch affects recall only, never
+    values.  Same filter and columns as the exhaustive query: on
+    corpora where the sketch catches every true pair the two are
+    row-identical (tested).
+
+    MEASURED adjudication (min-of-3 noop, local[32]): on the synthetic
+    corpus the EXHAUSTIVE join wins at both scales — 2.6 s vs 8.9 s at
+    sf0.1 and 38.3 s vs 96.5 s at sf1 — because the corpus's pair mass
+    IS true duplicates: the sketch's candidate set nearly equals the
+    exhaustive pair set, so bounding candidates buys nothing while the
+    bottom-k window adds a doc-keyed sort.  (Both grow superlinearly
+    at 10x: 14.7x exhaustive, 10.9x sketch — the dup-pair verify
+    dominates both.)  Where the sketch shape pays: probe-style
+    workloads (small contained side vs a huge corpus — k rows/doc
+    probes instead of the full shingle stream) and corpora whose hot
+    shingles are shared-but-not-duplicative; note a hot shingle INSIDE
+    the sketch still explodes either path — the standard mitigation is
+    a shingle-frequency cap on the join key, orthogonal to both."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select("doc_id", F.explode(shingles_col()).alias("s"))
+    hs = sh.select("doc_id", _hash60(F.col("s"), 2).alias("h"))
+    wk = Window.partitionBy("doc_id").orderBy(F.col("h").asc())
+    sketch = (hs.withColumn("rk", F.row_number().over(wk))
+              .filter(F.col("rk") <= CONTAINMENT_BOTTOM_K)
+              .select(F.col("doc_id").alias("sk_id"), "h"))
+    cand = (sketch.join(hs, "h")
+            .filter(F.col("sk_id") != F.col("doc_id"))
+            .select(F.least("sk_id", "doc_id").alias("doc_a"),
+                    F.greatest("sk_id", "doc_id").alias("doc_b"))
+            .distinct())
+    shl = docs.select("doc_id", shingles_col().alias("sh"))
+    j = (cand
+         .join(shl.select(F.col("doc_id").alias("doc_a"),
+                          F.col("sh").alias("sh_a")), "doc_a")
+         .join(shl.select(F.col("doc_id").alias("doc_b"),
+                          F.col("sh").alias("sh_b")), "doc_b")
+         .select("doc_a", "doc_b",
+                 F.size(F.array_intersect("sh_a", "sh_b"))
+                 .cast("bigint").alias("n_inter"),
+                 F.size("sh_a").alias("n_a"), F.size("sh_b").alias("n_b"))
+         .withColumn("cont_a", F.col("n_inter") / F.col("n_a"))
+         .withColumn("cont_b", F.col("n_inter") / F.col("n_b")))
+    return (j.filter((F.col("n_inter") > 0)
+                     & (F.greatest("cont_a", "cont_b")
+                        >= CONTAINMENT_THRESHOLD))
+            .select("doc_a", "doc_b", "n_inter",
+                    _r6(F.col("cont_a")).alias("cont_a"),
+                    _r6(F.col("cont_b")).alias("cont_b"),
+                    _r6(F.col("n_inter")
+                        / (F.col("n_a") + F.col("n_b")
+                           - F.col("n_inter"))).alias("jaccard"))
+            .orderBy("doc_a", "doc_b"))
+
+
+ORACLE_DEDUP_CONTAINMENT_LSH = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), shl AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+{NGRAM - 1}], ' ')
+                        for i in range(1, length(words) - {NGRAM - 2})])
+           AS shingles
+  FROM w
+), sh AS (
+  SELECT doc_id, unnest(shingles) AS s FROM shl
+), hs AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(s || '#2'), 1, 15))::BIGINT) AS h
+  FROM sh
+), sketch AS (
+  SELECT doc_id AS sk_id, h FROM (
+    SELECT doc_id, h,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h ASC) AS rk
+    FROM hs
+  ) WHERE rk <= {CONTAINMENT_BOTTOM_K}
+), cand AS (
+  SELECT DISTINCT LEAST(sk.sk_id, hs.doc_id) AS doc_a,
+                  GREATEST(sk.sk_id, hs.doc_id) AS doc_b
+  FROM sketch sk JOIN hs ON sk.h = hs.h
+  WHERE sk.sk_id != hs.doc_id
+), j AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) AS n_inter,
+         len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
+  FROM cand
+  JOIN shl sa ON sa.doc_id = doc_a
+  JOIN shl sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, n_inter,
+       FLOOR((n_inter::DOUBLE / n_a) * 1000000 + 0.5) / 1000000 AS cont_a,
+       FLOOR((n_inter::DOUBLE / n_b) * 1000000 + 0.5) / 1000000 AS cont_b,
+       FLOOR((n_inter::DOUBLE / (n_a + n_b - n_inter))
+             * 1000000 + 0.5) / 1000000 AS jaccard
+FROM j
+WHERE n_inter > 0
+  AND GREATEST(n_inter::DOUBLE / n_a, n_inter::DOUBLE / n_b)
+      >= {CONTAINMENT_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_dedup_jaccard_groundtruth(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Driver-facing exhaustive near-dup pair list (see
@@ -1658,6 +1790,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_jaccard_groundtruth": q_dedup_jaccard_groundtruth,
     "dedup_containment_pairs": q_dedup_containment_pairs,
+    "dedup_containment_lsh": q_dedup_containment_lsh,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_edit_distance": q_dedup_edit_distance,
     "dedup_incremental": q_dedup_incremental,
@@ -1676,6 +1809,7 @@ ORACLES = {
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_jaccard_groundtruth": ORACLE_DEDUP_JACCARD_GROUNDTRUTH,
     "dedup_containment_pairs": ORACLE_DEDUP_CONTAINMENT_PAIRS,
+    "dedup_containment_lsh": ORACLE_DEDUP_CONTAINMENT_LSH,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_edit_distance": ORACLE_DEDUP_EDIT_DISTANCE,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,

@@ -2560,3 +2560,41 @@ def test_containment_catches_what_jaccard_misses(spark):
     w = want[(want.doc_a == 900001) & (want.doc_b == 900002)]
     assert len(w) == 1
     assert abs(w.iloc[0]["cont_a"] - hit.iloc[0]["cont_a"]) < 1e-9
+
+
+def test_containment_lsh_recall_vs_exhaustive(spark):
+    """The bottom-k sketch path must reproduce the exhaustive
+    containment query exactly on the test corpus (a true pair misses
+    all k sketch hashes with probability <= 2^-8; deterministic hashes
+    -> a fixed, checkable outcome), including the planted
+    short-doc-inside-long-doc pair."""
+    import pandas as pd
+
+    from atr_adaptive_laguerre_spark.operators import dedup as D
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        q_dedup_containment_lsh, q_dedup_containment_pairs,
+    )
+
+    base = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    short = "alpha beta gamma delta epsilon zeta"
+    long_doc = (" ".join(f"w{i} x{i} y{i}" for i in range(60))
+                + " " + short + " "
+                + " ".join(f"p{i} q{i} r{i}" for i in range(60)))
+    docs = pd.concat([base, pd.DataFrame({
+        "doc_id": [900001, 900002], "text": [short, long_doc],
+        "lang": ["en", "en"], "source": ["t", "t"],
+        "n_chars": [len(short), len(long_doc)]})], ignore_index=True)
+    sdf = spark.createDataFrame(docs)
+    try:
+        orig = D._docs
+        D._docs = lambda sp, sf: sdf
+        lsh = q_dedup_containment_lsh(spark, SF).toPandas()
+        full = q_dedup_containment_pairs(spark, SF).toPandas()
+    finally:
+        D._docs = orig
+    assert ((900001, 900002) in
+            set(zip(lsh["doc_a"], lsh["doc_b"])))
+    assert lsh[["doc_a", "doc_b", "n_inter", "cont_a", "cont_b",
+                "jaccard"]].equals(
+        full[["doc_a", "doc_b", "n_inter", "cont_a", "cont_b",
+              "jaccard"]]), (len(lsh), len(full))

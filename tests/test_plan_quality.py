@@ -643,3 +643,17 @@ def test_weighted_sample_one_pass_topn(spark):
     assert "Join" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_containment_lsh_no_shingle_self_join(spark):
+    """The sketch path must never join shingles x shingles: the only
+    stream-scale join is sketch (k rows/doc) against the linear hash
+    stream, then id-keyed verify joins — no cartesian, and the hash
+    join keys are the sketch hash or doc ids."""
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        q_dedup_containment_lsh,
+    )
+
+    plan = _plan(q_dedup_containment_lsh(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
