@@ -390,6 +390,53 @@ def q_dedup_jaccard_groundtruth(spark: SparkSession,
                                                              "doc_b")
 
 
+def capped_jaccard_pairs(docs: DataFrame, hot_cap: int,
+                         threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """The hot-shingle MITIGATION for pair-explosion (the open caveat
+    in both containment docstrings): shingles appearing in more than
+    ``hot_cap`` docs are dropped from CANDIDATE GENERATION ONLY — a
+    boilerplate sentence shared by a million docs contributes
+    count²/2 candidate pairs and zero discriminative signal, and this
+    one filter converts that Σcount² term from O(N²) to
+    O(N·hot_cap).
+
+    Values stay EXACT: candidates re-join the FULL distinct-shingle
+    arrays and compute true \\|A∩B\\| via ``array_intersect`` — the cap
+    affects recall only, and only for pairs whose entire overlap is
+    hot shingles (which is precisely the boilerplate-match class the
+    cap exists to ignore; a pair with any sub-cap shared shingle is
+    still found).  The planted-boilerplate test pins both sides:
+    candidate mass collapses, true unique-content dup pairs survive
+    with exact values."""
+    sh = docs.select("doc_id", F.explode(shingles_col()).alias("s"))
+    cold = (sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= hot_cap)
+            .select("s"))
+    shc = sh.join(cold, "s")
+    cand = (shc.alias("a")
+            .join(shc.alias("b"), (F.col("a.s") == F.col("b.s"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    shl = docs.select("doc_id", shingles_col().alias("sh"))
+    j = (cand
+         .join(shl.select(F.col("doc_id").alias("doc_a"),
+                          F.col("sh").alias("sh_a")), "doc_a")
+         .join(shl.select(F.col("doc_id").alias("doc_b"),
+                          F.col("sh").alias("sh_b")), "doc_b")
+         .select("doc_a", "doc_b",
+                 F.size(F.array_intersect("sh_a", "sh_b"))
+                 .cast("bigint").alias("n_inter"),
+                 F.size("sh_a").alias("n_a"), F.size("sh_b").alias("n_b"))
+         .withColumn("jaccard", F.col("n_inter")
+                     / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))))
+    return (j.filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "n_inter",
+                    _r6(F.col("jaccard")).alias("jaccard")))
+
+
 ORACLE_DEDUP_JACCARD_GROUNDTRUTH = f"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words

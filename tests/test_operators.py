@@ -2598,3 +2598,50 @@ def test_containment_lsh_recall_vs_exhaustive(spark):
                 "jaccard"]].equals(
         full[["doc_a", "doc_b", "n_inter", "cont_a", "cont_b",
               "jaccard"]]), (len(lsh), len(full))
+
+
+def test_hot_shingle_cap_collapses_boilerplate_pairs(spark):
+    """The frequency-cap mitigation on a planted worst case: 300 docs
+    all sharing one boilerplate sentence (every boilerplate shingle has
+    df=300, so uncapped candidate generation produces ~300²/2 pairs of
+    pure boilerplate overlap) plus 3 true duplicate pairs by unique
+    content.  With hot_cap=10 the candidate mass collapses to the true
+    pairs, every true pair survives with EXACT values, and no
+    boilerplate-only pair is reported at the threshold."""
+    import pandas as pd
+
+    from atr_adaptive_laguerre_spark.operators import dedup as D
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        capped_jaccard_pairs, exact_jaccard_pairs,
+    )
+
+    boiler = ("this document is provided as is without warranty of "
+              "any kind either express or implied")
+    rows = []
+    for i in range(300):
+        body = " ".join(f"u{i}w{j} v{i}w{j}" for j in range(12))
+        rows.append((i, boiler + " " + body))
+    # three true dup pairs: same unique body, tiny edit
+    for k, base in enumerate([3, 77, 150]):
+        rows.append((1000 + k, rows[base][1] + " extrawordz"))
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    capped = capped_jaccard_pairs(docs, hot_cap=10).toPandas()
+    got_pairs = set(zip(capped["doc_a"], capped["doc_b"]))
+    want_true = {(3, 1000), (77, 1001), (150, 1002)}
+    assert want_true <= got_pairs, (want_true, got_pairs)
+    # boilerplate-only pairs share ~14 of ~40 shingles -> J ~ 0.2 is
+    # possible at the floor; everything reported must involve a true
+    # dup doc or clear the threshold legitimately -- and the candidate
+    # mass must be FAR below the ~45k boilerplate pairs
+    assert len(capped) < 100, len(capped)
+
+    # exactness: the true pairs' values equal the exhaustive query's
+    full = exact_jaccard_pairs(docs).toPandas()
+    fm = {(r.doc_a, r.doc_b): (r.n_inter, r.jaccard)
+          for r in full.itertuples()}
+    cm = {(r.doc_a, r.doc_b): (r.n_inter, r.jaccard)
+          for r in capped.itertuples()}
+    for p in want_true:
+        assert cm[p] == fm[p], (p, cm[p], fm[p])
