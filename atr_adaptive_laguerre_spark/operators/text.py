@@ -907,6 +907,72 @@ ORDER BY rank
 """
 
 
+def q_bpe_train_encode(spark: SparkSession, sf_dir: str,
+                       n_merges: int = BPE_TRAIN_ROUNDS) -> DataFrame:
+    """The COMPOSED trained-tokenizer pipeline as one oracle-gated
+    query: learn ``n_merges`` BPE merges on the corpus
+    (:func:`q_bpe_train_merges` — vocabulary-grain pair counting, the
+    only corpus-scale shuffle) and encode the corpus with the LEARNED
+    table (:func:`bpe_encode_col` — a whole-stage-codegen replace
+    chain, zero shuffles).  Same output contract as ``bpe_encode``
+    but under merges the corpus itself chose — train once, encode
+    everywhere, end to end.
+
+    Driver state: the learned table itself (n_merges rows — the same
+    bounded-bookkeeping adjudication as the IVF Lloyd loop).  The
+    DuckDB twin replays the identical rounds via the trainer's
+    unrolled CTEs and applies them with nested scalar-subquery
+    replaces, so every learned boundary is hash-pinned cross-engine."""
+    merges = [(r["pair"][1:-1].split("><")[0],
+               r["pair"][1:-1].split("><")[1])
+              for r in q_bpe_train_merges(spark, sf_dir,
+                                          n_merges).collect()]
+    docs = _docs(spark, sf_dir)
+    enc = bpe_encode_col(F.col("text"), merges)
+    raw = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s", "")
+    return (docs.select(
+        "doc_id",
+        F.length(raw).cast("bigint").alias("n_chars"),
+        (F.length(enc) - F.length(F.replace(enc, F.lit("<"))))
+        .cast("bigint").alias("n_tokens"),
+        _r6(F.length(raw).cast("double")
+            / F.nullif((F.length(enc)
+                        - F.length(F.replace(enc, F.lit("<"))))
+                       .cast("double"), F.lit(0.0)))
+        .alias("compression"),
+        F.md5(enc).alias("tokens_md5"))
+        .orderBy("doc_id"))
+
+
+def _bpe_learned_replace_sql(n: int = BPE_TRAIN_ROUNDS) -> str:
+    expr = "regexp_replace(trim(lower(text)), '(\\S)', '<\\1>', 'g')"
+    for r in range(1, n + 1):
+        expr = (f"replace({expr}, (SELECT pair FROM b{r}), "
+                f"(SELECT merged FROM b{r}))")
+    return expr
+
+
+ORACLE_BPE_TRAIN_ENCODE = f"""
+WITH {_bpe_train_ctes()},
+enc AS (
+  SELECT doc_id,
+         length(regexp_replace(trim(lower(text)), '\\s', '', 'g'))
+           AS n_chars,
+         {_bpe_learned_replace_sql()} AS e
+  FROM documents
+)
+SELECT doc_id,
+       n_chars::BIGINT AS n_chars,
+       (length(e) - length(replace(e, '<', '')))::BIGINT AS n_tokens,
+       FLOOR(n_chars::DOUBLE
+             / nullif(length(e) - length(replace(e, '<', '')), 0)
+             * 1000000 + 0.5) / 1000000 AS compression,
+       md5(e) AS tokens_md5
+FROM enc
+ORDER BY doc_id
+"""
+
+
 #: PII patterns — written to behave identically under Java regex
 #: (Spark) and RE2 (DuckDB): no ambiguous alternations/quantifiers
 #: where backtracking (leftmost-greedy) and leftmost-longest could
@@ -1323,6 +1389,7 @@ QUERIES = {
     "bpe_pair_stats": q_bpe_pair_stats,
     "bpe_encode": q_bpe_encode,
     "bpe_train_merges": q_bpe_train_merges,
+    "bpe_train_encode": q_bpe_train_encode,
     "bm25_search": q_bm25_search,
 }
 
@@ -1342,4 +1409,5 @@ ORACLES = {
     "bpe_pair_stats": ORACLE_BPE_PAIR_STATS,
     "bpe_encode": ORACLE_BPE_ENCODE,
     "bpe_train_merges": ORACLE_BPE_TRAIN_MERGES,
+    "bpe_train_encode": ORACLE_BPE_TRAIN_ENCODE,
 }

@@ -2645,3 +2645,25 @@ def test_hot_shingle_cap_collapses_boilerplate_pairs(spark):
           for r in capped.itertuples()}
     for p in want_true:
         assert cm[p] == fm[p], (p, cm[p], fm[p])
+
+
+def test_bpe_train_encode_uses_learned_merges(spark):
+    """The composed train->encode query must encode with merges the
+    corpus chose, not the fixed demo list: its token counts differ
+    from bpe_encode's on this corpus (the demo list reassembles only
+    'table'/'value'), every doc compresses at least as well as raw
+    characters, and the learned merges match bpe_train's."""
+    from atr_adaptive_laguerre_spark.operators.text import (
+        bpe_train, q_bpe_encode, q_bpe_train_encode,
+        q_bpe_train_merges,
+    )
+
+    learned = q_bpe_train_encode(spark, SF).toPandas()
+    fixed = q_bpe_encode(spark, SF).toPandas()
+    assert (learned["n_tokens"] <= learned["n_chars"]).all()
+    assert (learned["n_tokens"] < fixed["n_tokens"]).any(), \
+        "learned merges should compress somewhere the demo list doesn't"
+    rows = q_bpe_train_merges(spark, SF).collect()
+    got = [tuple(r["pair"][1:-1].split("><")) for r in rows]
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert got == bpe_train(docs, n_merges=len(got))
