@@ -649,6 +649,101 @@ ORDER BY event_type, k_decile
 """
 
 
+#: ordered conversion steps for the funnel query.
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED conversion funnel (view -> click -> purchase): per user,
+    the first time each step occurred STRICTLY AFTER the previous
+    step's first completion — a user who clicked before ever viewing
+    has not converted step 2.  Emits one row per funnel stage with the
+    user count reaching it and the median stage-entry timestamp.
+
+    The classic product-analytics sequence query, expressed as ONE
+    conditional aggregation per user (min ts per event type) + a
+    cascade of ordered-time comparisons — no self-joins, no per-event
+    window sort: the corpus shuffles ONCE on user_id at event grain,
+    everything after is per-user scalar logic on three timestamps.
+    Median via the exact percentile on the (stages x users)-bounded
+    stage frame."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = (ev.filter(F.col("event_type").isin(*FUNNEL_STEPS))
+              .groupBy("user_id")
+              .agg(*[F.min(F.when(F.col("event_type") == s,
+                                  _us(F.col("ts"))))
+                     .alias(f"t_{s}") for s in FUNNEL_STEPS]))
+    t1, t2, t3 = [F.col(f"t_{s}") for s in FUNNEL_STEPS]
+    stage1 = t1
+    stage2 = F.when(stage1.isNotNull() & t2.isNotNull()
+                    & (t2 > stage1), t2)
+    stage3 = F.when(stage2.isNotNull() & t3.isNotNull()
+                    & (t3 > stage2), t3)
+    staged = firsts.select(
+        "user_id", stage1.alias("s1"), stage2.alias("s2"),
+        stage3.alias("s3"))
+    rows = []
+    for i, s in enumerate(FUNNEL_STEPS, start=1):
+        rows.append(staged.select(
+            F.lit(i).cast("bigint").alias("stage"),
+            F.lit(s).alias("step"),
+            F.col(f"s{i}").alias("t")).filter(F.col("t").isNotNull()))
+    allst = rows[0]
+    for r in rows[1:]:
+        allst = allst.unionByName(r)
+    # the median of integer microseconds is x.0 or x.5 — exact in a
+    # double on both engines, and _r6 would overflow BIGINT at
+    # epoch-microsecond magnitude (1.7e15 * 1e6 > 2^63), so it is
+    # deliberately NOT quantized
+    return (allst.groupBy("stage", "step")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.expr("percentile(t, 0.5)").alias("median_entry_us"))
+            .select("stage", "step", "n_users", "median_entry_us")
+            .orderBy("stage"))
+
+
+ORACLE_EVENTS_FUNNEL = f"""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+           AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS t_purchase
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id
+), staged AS (
+  SELECT user_id,
+         t_view AS s1,
+         CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                   AND t_click > t_view THEN t_click END AS s2,
+         CASE WHEN (CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                              AND t_click > t_view THEN t_click END)
+                   IS NOT NULL
+              AND t_purchase IS NOT NULL
+              AND t_purchase > (CASE WHEN t_view IS NOT NULL
+                                          AND t_click IS NOT NULL
+                                          AND t_click > t_view
+                                     THEN t_click END)
+              THEN t_purchase END AS s3
+  FROM firsts
+), allst AS (
+  SELECT 1::BIGINT AS stage, 'view' AS step, s1 AS t
+  FROM staged WHERE s1 IS NOT NULL
+  UNION ALL
+  SELECT 2::BIGINT, 'click', s2 FROM staged WHERE s2 IS NOT NULL
+  UNION ALL
+  SELECT 3::BIGINT, 'purchase', s3 FROM staged WHERE s3 IS NOT NULL
+)
+SELECT stage, step, COUNT(*) AS n_users,
+       median(t)::DOUBLE AS median_entry_us
+FROM allst
+GROUP BY stage, step
+ORDER BY stage
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -669,6 +764,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resample_ohlcv_1h": q_resample_ohlcv_1h,
     "events_ffill_bfill": q_events_ffill_bfill,
     "events_json_extract": q_events_json_extract,
+    "events_funnel": q_events_funnel,
 }
 
 def _merge_operator_modules() -> None:
@@ -710,6 +806,7 @@ ORACLES: dict[str, str] = {
     "resample_ohlcv_1h": ORACLE_RESAMPLE_OHLCV_1H,
     "events_ffill_bfill": ORACLE_EVENTS_FFILL_BFILL,
     "events_json_extract": ORACLE_EVENTS_JSON_EXTRACT,
+    "events_funnel": ORACLE_EVENTS_FUNNEL,
 }
 
 

@@ -2667,3 +2667,15 @@ def test_bpe_train_encode_uses_learned_merges(spark):
     got = [tuple(r["pair"][1:-1].split("><")) for r in rows]
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     assert got == bpe_train(docs, n_merges=len(got))
+
+
+def test_events_funnel_monotone(spark):
+    """Funnel counts must be non-increasing through the ordered stages
+    (stage k+1 requires a strictly-later event than stage k's first
+    completion), and every stage row carries a real median."""
+    from atr_adaptive_laguerre_spark.queries import q_events_funnel
+
+    p = q_events_funnel(spark, SF).toPandas().sort_values("stage")
+    assert list(p["step"]) == ["view", "click", "purchase"]
+    assert (p["n_users"].diff().dropna() <= 0).all(), p
+    assert p["median_entry_us"].notna().all()
