@@ -83,6 +83,9 @@ OPERATOR_QUERIES = [
     "ann_rp_topk",
     "dedup_jaccard_groundtruth",
     "corpus_sample_weighted",
+    "dedup_containment_lsh",
+    "bpe_train_encode",
+    "events_funnel",
 ]
 
 
