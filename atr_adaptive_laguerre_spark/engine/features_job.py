@@ -191,21 +191,57 @@ def core_features_long(doc_df: DataFrame,
                        num_partitions: int | None = None) -> DataFrame:
     """Doc-grain input -> long-form (entity x offset) core features.
 
-    Zero-shuffle by default: mapInPandas over the scan output, with
+    Zero-shuffle by default: ``mapInArrow`` over the scan output, with
     parallelism from Parquet file splits (bytes ∝ tokens ∝ work).  Pass
     ``num_partitions`` to force a round-robin repartition first — useful
     when the input is a few small files (e.g. local benches) whose splits
     underuse the cluster; at real scale leave it unset.
+
+    Physical path mirrors :func:`features_long` (r6): tokens are read
+    straight from the Arrow list buffers, the kernel outputs are gathered
+    into pooled buffers and wrapped zero-copy — no pandas block
+    consolidation on either side of the boundary.  Values are the same
+    ``core_loop_batched`` outputs the previous mapInPandas path emitted
+    (identical chunking, identical kernel calls).
     """
+    import pyarrow as pa
+
     cfg = cfg or FeatureConfig()
     if num_partitions:
         doc_df = doc_df.repartition(num_partitions)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield from _kernel_on_docs(pdf, cfg, long_form=True)
+    def run(batches):
+        import pyarrow.compute as pc
 
-    return doc_df.mapInPandas(run, schema=CORE_LONG_SCHEMA)
+        from atr_adaptive_laguerre_spark.kernel.batched import get_out_pool
+
+        pool = get_out_pool()
+        for rb in batches:
+            src_col = rb.column(rb.schema.get_field_index("source"))
+            did_col = rb.column(rb.schema.get_field_index("doc_id"))
+            for idx, chunk_flat, lens, mat, fe in _arrow_doc_chunks(rb):
+                high, low, close = tokens_to_ohlcv_batched(mat)
+                out = core_loop_batched(high, low, close, cfg.atr_period,
+                                        cfg.adaptive_offset, copy_out=False)
+                rep = pa.array(np.repeat(idx.astype(np.int64), lens))
+                offsets = np.concatenate(
+                    [np.arange(n, dtype=np.int32) for n in lens])
+                arrays = [
+                    pc.take(src_col, rep),
+                    pc.take(did_col, rep),
+                    pa.array(offsets),
+                    pa.array(chunk_flat.astype(np.int32, copy=False)),
+                ]
+                for k in CORE_OUTPUTS:
+                    buf = pool.get(f"core_{k}", len(fe))
+                    np.take(out[k].ravel(), fe, out=buf)
+                    arrays.append(pa.array(buf))
+                yield pa.RecordBatch.from_arrays(
+                    arrays,
+                    ["source", "doc_id", "offset", "token"]
+                    + list(CORE_OUTPUTS))
+
+    return doc_df.mapInArrow(run, schema=CORE_LONG_SCHEMA)
 
 
 def core_features_doc(doc_df: DataFrame,

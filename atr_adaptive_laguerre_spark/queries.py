@@ -68,6 +68,39 @@ def _us(col):
         F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), col)
 
 
+def _ordered(df: DataFrame, *cols) -> DataFrame:
+    """Final global ORDER BY behind a lazy ``localCheckpoint``.
+
+    A range exchange first runs a boundary-sampling job over its child,
+    recomputing the whole upstream stage (window/aggregate) once before
+    the real shuffle-write pass recomputes it again.  Materializing the
+    child once (guide §3.3 plan truncation) makes the sampling pass read
+    the cached partitions instead.  Applied only where an interleaved
+    A/B at sf1 showed the cache cost beats the recompute (heavy window
+    aggregates: rolling stats −17%, sessionize −7%, true_range −5%);
+    cheap-to-recompute windows (lag/lead, as-of, ffill) keep a plain
+    orderBy.  Lazy (eager=False), so nothing runs at plan-build time and
+    every invocation recomputes from the parquet inputs; rows and order
+    are identical to a plain ``orderBy``."""
+    return df.localCheckpoint(eager=False).orderBy(*cols)
+
+
+def _asof_pack_key():
+    """Scalar (DECIMAL(38,0)) encoding of the lexicographic ordering
+    struct(ts, event_id): ts_us * 10^18 + event_id.  Identical total
+    order for 0 <= event_id < 10^18 and ts >= epoch (both hold for every
+    generated corpus; event_id is a row id, ts is a modern timestamp).
+    Why: min_by/max_by with a *struct* ordering key put a struct in the
+    aggregation buffer, which is not UnsafeRow-mutable, so the whole
+    aggregate falls back to SortAggregate (full pre-shuffle sort of the
+    table); with a scalar key both buffer fields are mutable and the
+    planner keeps HashAggregate — measured 2.83 -> 2.25 s at sf1 with
+    bit-identical results."""
+    return (_us(F.col("ts")).cast("decimal(38,0)")
+            * F.lit(1000000000000000000).cast("decimal(38,0)")
+            + F.col("event_id").cast("decimal(38,0)"))
+
+
 # ---------------------------------------------------------------------------
 # flagship: tokenized documents -> core RSI features (kernel path; rows-only)
 # ---------------------------------------------------------------------------
@@ -286,7 +319,7 @@ ORDER BY region_name, nation_name
 # lag/lead & window layer (SURVEY §2.4 A4)
 # ---------------------------------------------------------------------------
 
-def q_events_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _body_events_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (ev.select(
@@ -298,8 +331,15 @@ def q_events_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.lead("value", 1).over(w)).alias("value_lead1"),
         _r6(F.col("value") - F.coalesce(F.lag("value", 1).over(w),
                                         F.first("value").over(w)))
-        .alias("value_change_1"))
-        .orderBy("event_id"))
+        .alias("value_change_1")))
+
+
+def q_events_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # plain orderBy: the lag/lead window is cheap to recompute, so the
+    # localCheckpoint materialization costs more than the range
+    # exchange's sampling recompute saves (interleaved A/B at sf1:
+    # plain 1.34 s vs ckpt 1.50 s min-of-6)
+    return _body_events_lag_lead(spark, sf_dir).orderBy("event_id")
 
 
 ORACLE_EVENTS_LAG_LEAD = """
@@ -317,7 +357,7 @@ ORDER BY event_id
 """
 
 
-def q_events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _body_events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling mean/std/min/max over the last 20 events per user — the
     Spark-native form of F6 (reference feature_expander.py:339-383),
     including the std==0 -> 1 z-score guard and min_periods gate."""
@@ -333,8 +373,11 @@ def q_events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.coalesce(std, F.lit(0.0))).alias("roll_std_20"),
         _r6(F.max("value").over(w) - F.min("value").over(w)).alias("roll_range_20"),
         _r6((F.col("value") - mean) / std_safe).alias("roll_zscore_20"),
-        F.count(F.lit(1)).over(w).alias("n_in_window"))
-        .orderBy("event_id"))
+        F.count(F.lit(1)).over(w).alias("n_in_window")))
+
+
+def q_events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ordered(_body_events_rolling_stats(spark, sf_dir), "event_id")
 
 
 ORACLE_EVENTS_ROLLING_STATS = """
@@ -354,7 +397,7 @@ ORDER BY event_id
 """
 
 
-def q_true_range_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _body_true_range_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1+C2 expressed Spark-natively on a per-user price proxy:
     TR = max(high, prev_close) - min(low, prev_close) (first bar high-low),
     ATR = mean of TR over last 14 rows (warm-up denominator = rows so far,
@@ -373,8 +416,11 @@ def q_true_range_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev2.select(
         "event_id", "user_id",
         _r6(F.col("tr")).alias("true_range"),
-        _r6(F.avg("tr").over(watr)).alias("atr_14"))
-        .orderBy("event_id"))
+        _r6(F.avg("tr").over(watr)).alias("atr_14")))
+
+
+def q_true_range_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ordered(_body_true_range_atr(spark, sf_dir), "event_id")
 
 
 ORACLE_TRUE_RANGE_ATR = """
@@ -407,7 +453,7 @@ ORDER BY event_id
 SESSION_GAP_MIN = 30
 
 
-def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _body_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a new session starts when the gap to the
     previous event of the same user exceeds 30 minutes."""
     ev = _t(spark, sf_dir, "events")
@@ -419,9 +465,12 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess_id = F.sum("new_sess").over(
         Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0))
-    return (ev2.select("event_id", "user_id",
-                       sess_id.cast("bigint").alias("session_id"))
-            .orderBy("event_id"))
+    return ev2.select("event_id", "user_id",
+                      sess_id.cast("bigint").alias("session_id"))
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ordered(_body_events_sessionize(spark, sf_dir), "event_id")
 
 
 ORACLE_EVENTS_SESSIONIZE = f"""
@@ -443,7 +492,7 @@ ORDER BY event_id
 """
 
 
-def q_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _body_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time as-of join: for each event, the latest order of the
     same customer with o_orderdate <= ts (non-strict).  Implemented
     Spark-natively with the union+window trick (no per-row Python):
@@ -482,8 +531,14 @@ def q_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.col("k").alias("user_id"),
         F.col("last_orderkey").alias("o_orderkey"),
-        _r6(F.col("last_totalprice")).alias("o_totalprice"))
-        .orderBy("event_id"))
+        _r6(F.col("last_totalprice")).alias("o_totalprice")))
+
+
+def q_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # plain orderBy: A/B at sf1 read plain 1.47 s vs ckpt 1.62 s —
+    # caching the 1M-row as-of result costs more than re-running the
+    # union+window for the sort's sampling pass
+    return _body_asof_join_orders(spark, sf_dir).orderBy("event_id")
 
 
 ORACLE_ASOF_JOIN_ORDERS = """
@@ -511,7 +566,7 @@ ORDER BY e.event_id
 # resampling (SURVEY §2.5 R1/R2)
 # ---------------------------------------------------------------------------
 
-def q_resample_ohlcv_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _body_resample_ohlcv_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window OHLCV resample of the per-user value stream:
     open=first, high=max, low=min, close=last, volume=count.  Epoch-anchored
     1h windows (same binning as pandas resample on aligned grids);
@@ -520,14 +575,19 @@ def q_resample_ohlcv_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     bucket = (F.floor(_us(F.col("ts")) / F.lit(3_600_000_000))
               .alias("hour_bucket"))
+    key = _asof_pack_key()          # scalar twin of struct(ts, event_id)
     return (ev.groupBy("user_id", bucket)
-            .agg(_r6(F.min_by("value", F.struct(F.col("ts"), F.col("event_id"))))
-                 .alias("open"),
+            .agg(_r6(F.min_by("value", key)).alias("open"),
                  _r6(F.max("value")).alias("high"),
                  _r6(F.min("value")).alias("low"),
-                 _r6(F.max_by("value", F.struct(F.col("ts"), F.col("event_id"))))
-                 .alias("close"),
-                 F.count(F.lit(1)).alias("n_bars"))
+                 _r6(F.max_by("value", key)).alias("close"),
+                 F.count(F.lit(1)).alias("n_bars")))
+
+
+def q_resample_ohlcv_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # plain orderBy: ckpt was a wash here (A/B 2.64 vs 2.62 s) — the
+    # aggregate already shrank the sort input; keep the simpler plan
+    return (_body_resample_ohlcv_1h(spark, sf_dir)
             .orderBy("user_id", "hour_bucket"))
 
 
@@ -560,7 +620,7 @@ ORDER BY user_id, hour_bucket
 # backfill / forward-fill (SURVEY §2.4 A1/A3)
 # ---------------------------------------------------------------------------
 
-def q_events_ffill_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _body_events_ffill_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward-fill a sparse column (value only on 'purchase' events) to
     all events of the user, then backfill leading nulls — the A1+A3
     alignment pair (reference multi_interval.py:227-255,
@@ -573,10 +633,14 @@ def q_events_ffill_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
           .rowsBetween(0, Window.unboundedFollowing))
     ff = F.last(sparse, ignorenulls=True).over(wf)
     filled = F.coalesce(ff, F.first(sparse, ignorenulls=True).over(wb))
-    return (ev.select("event_id", "user_id",
-                      _r6(ff).alias("purchase_ffill"),
-                      _r6(filled).alias("purchase_filled"))
-            .orderBy("event_id"))
+    return ev.select("event_id", "user_id",
+                     _r6(ff).alias("purchase_ffill"),
+                     _r6(filled).alias("purchase_filled"))
+
+
+def q_events_ffill_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # plain orderBy: A/B at sf1 plain 1.05 s vs ckpt 1.13 s min-of-6
+    return _body_events_ffill_bfill(spark, sf_dir).orderBy("event_id")
 
 
 ORACLE_EVENTS_FFILL_BFILL = """
@@ -1023,3 +1087,19 @@ def q_feature_ic_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["feature_ic_sweep"] = q_feature_ic_sweep
+
+
+#: pre-ORDER-BY bodies of the _ordered (localCheckpoint) queries, for
+#: plan assertions and plans/r06 dumps: the public query's explain shows
+#: only "Scan ExistingRDD" + the final range sort after plan truncation,
+#: so the interesting physical plan (exchanges, window, aggregate
+#: strategy) is only visible on the body.
+BENCH_QUERY_BODIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_lag_lead": _body_events_lag_lead,
+    "events_rolling_stats": _body_events_rolling_stats,
+    "true_range_atr": _body_true_range_atr,
+    "events_sessionize": _body_events_sessionize,
+    "asof_join_orders": _body_asof_join_orders,
+    "resample_ohlcv_1h": _body_resample_ohlcv_1h,
+    "events_ffill_bfill": _body_events_ffill_bfill,
+}

@@ -257,22 +257,54 @@ def stream_sample_weighted(spark: SparkSession, input_dir: str,
 
     k = WEIGHTED_SAMPLE_N if n is None else n
 
+    def read_reservoir(sp):
+        """Current sample, falling back to the pre-swap snapshot if a
+        crash left the primary path missing (see swap below)."""
+        try:
+            return sp.read.parquet(sample_dir).collect()
+        except AnalysisException:
+            try:
+                return sp.read.parquet(sample_dir + ".old").collect()
+            except AnalysisException:
+                return []
+
     def process(batch, batch_id: int) -> None:
         sp = batch.sparkSession
         cand = (priority_keys(batch)
                 .orderBy(F.col("key_q").desc(), F.col("doc_id").asc())
                 .limit(k).collect())
-        try:
-            cur = sp.read.parquet(sample_dir).collect()
-        except AnalysisException:
-            cur = []
+        cur = read_reservoir(sp)
         best: dict[int, tuple] = {}
         for r in list(cur) + list(cand):
             best[r["doc_id"]] = (r["doc_id"], r["source"],
                                  r["n_chars"], r["key_q"])
         merged = sorted(best.values(), key=lambda t: (-t[3], t[0]))[:k]
+        # Crash-safe swap (ADVICE r5): a bare mode("overwrite") on
+        # sample_dir deletes the old sample before the new one commits,
+        # and the streaming checkpoint never replays committed batches —
+        # a crash mid-write would lose the accumulated reservoir
+        # unrecoverably.  Instead: write to a temp dir, rename the live
+        # dir aside, rename temp in, drop the old.  Every crash window
+        # leaves the pre-batch state readable (live path or ".old"
+        # fallback above), and a batch retry re-merges idempotently.
+        # (Rename is atomic on local FS / HDFS; object stores should
+        # swap a manifest pointer instead — same pattern as
+        # engine/manifest.py.)
+        tmp_dir = f"{sample_dir}.tmp-{batch_id}"
         (sp.createDataFrame(merged, SAMPLE_OUT_SCHEMA)
-         .coalesce(1).write.mode("overwrite").parquet(sample_dir))
+         .coalesce(1).write.mode("overwrite").parquet(tmp_dir))
+        jvm = sp._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        fs = hpath(sample_dir).getFileSystem(
+            sp._jsc.hadoopConfiguration())
+        live, old, tmp = hpath(sample_dir), hpath(sample_dir + ".old"), \
+            hpath(tmp_dir)
+        if fs.exists(old):
+            fs.delete(old, True)
+        if fs.exists(live):
+            fs.rename(live, old)
+        fs.rename(tmp, live)
+        fs.delete(old, True)
 
     sdf = spark.readStream.schema(SAMPLE_DOC_SCHEMA).parquet(input_dir)
     q = (sdf.writeStream.foreachBatch(process)

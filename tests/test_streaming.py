@@ -1010,3 +1010,57 @@ def test_stream_sample_weighted_matches_batch(spark, tmp_path):
             .sort_values("rank").reset_index(drop=True))
     assert list(got["doc_id"]) == list(want["doc_id"])
     assert list(got["key_q"]) == list(want["key_q"])
+
+
+def test_stream_sample_weighted_crash_window_recovers(spark, tmp_path):
+    """r6 crash-safety: the reservoir swap leaves the pre-batch sample
+    readable from the ".old" fallback if a crash lands between the two
+    renames (live dir moved aside, replacement not yet in place).  A
+    later stream invocation must recover that state and still converge
+    to the exact batch sample over the full corpus."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from atr_adaptive_laguerre_spark.operators.curation import (
+        q_corpus_sample_weighted,
+    )
+    from atr_adaptive_laguerre_spark.streaming.dedup import (
+        stream_sample_weighted,
+    )
+
+    sfd = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sfd}/documents.parquet") \
+        .select("doc_id", "source", "n_chars")
+    inp = tmp_path / "in"
+    inp.mkdir()
+
+    def ship(df, name):
+        df.coalesce(1).write.mode("overwrite").parquet(str(inp / name))
+        part = glob.glob(str(inp / name / "part-*.parquet"))[0]
+        shutil.move(part, str(inp / f"{name}.parquet"))
+        shutil.rmtree(str(inp / name))
+
+    ship(docs.filter(F.col("doc_id") % 2 == 0), "shard_a")
+    sample_dir = str(tmp_path / "sample")
+    ckpt = str(tmp_path / "ckpt")
+    stream_sample_weighted(spark, str(inp), sample_dir, ckpt)
+
+    # simulate the crash window: live dir renamed aside, replacement
+    # never arrived — the primary path is GONE
+    shutil.move(sample_dir, sample_dir + ".old")
+    assert not glob.glob(sample_dir)
+
+    ship(docs.filter(F.col("doc_id") % 2 == 1), "shard_b")
+    stream_sample_weighted(spark, str(inp), sample_dir, ckpt)
+
+    got = (spark.read.parquet(sample_dir).toPandas()
+           .sort_values(["key_q", "doc_id"],
+                        ascending=[False, True]).reset_index(drop=True))
+    want = (q_corpus_sample_weighted(spark, sfd).toPandas()
+            .sort_values("rank").reset_index(drop=True))
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["key_q"]) == list(want["key_q"])
+    # the stale fallback snapshot was cleaned up by the swap
+    assert not glob.glob(sample_dir + ".old")

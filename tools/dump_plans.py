@@ -165,9 +165,15 @@ def main() -> int:
                 "Generated by `tools/dump_plans.py` (sf0.001, local[4]; "
                 "plan SHAPE is what matters — row counts are not).  "
                 "Automated guards: `tests/test_plan_quality.py`.\n")
+        from atr_adaptive_laguerre_spark.queries import BENCH_QUERY_BODIES
+
         jvm = spark.sparkContext._jvm
         for name, note in PLAN_NOTES.items():
-            df = QUERIES[name](spark, SF)
+            # _ordered queries truncate their public plan at the
+            # localCheckpoint (r6); dump the pre-ORDER-BY body, which
+            # carries the physical shape the note describes
+            fn = BENCH_QUERY_BODIES.get(name, QUERIES[name])
+            df = fn(spark, SF)
             plan = jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted")
             f.write(f"\n## {name}\n\n**Why this plan survives 100x:** "
