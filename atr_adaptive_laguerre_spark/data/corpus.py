@@ -88,9 +88,19 @@ def corpus_pandas(n_docs: int, seed: int = 42, **kw):
     })
 
 
-def write_corpus_parquet(path: str, n_docs: int, seed: int = 42, **kw) -> str:
+def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
+                         docs_per_row_group: int = 2500, **kw) -> str:
     """Write the corpus to a parquet file with an exact
-    ``tokens: list<int32>`` arrow schema (no silent int64 upcast)."""
+    ``tokens: list<int32>`` arrow schema (no silent int64 upcast).
+
+    Row groups are sized to ``docs_per_row_group`` (r6): a single
+    monolithic row group collapses the whole Spark scan onto ONE task —
+    Spark's dynamic splits (totalBytes/defaultParallelism) exist, but a
+    row group lands entirely in the split holding its midpoint, so a
+    100 MB one-group file ran 24 empty tasks + 1 task decoding
+    everything (observed as the serial head of every kernel bench run).
+    ~2500 docs ≈ 3 MB per group spreads the decode across the scan
+    splits at every corpus size; the logical rows are identical."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -101,7 +111,8 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42, **kw) -> str:
         "n_tok": pa.array([int(r["n_tok"]) for r in rows], pa.int32()),
         "source": pa.array([r["source"] for r in rows], pa.string()),
     })
-    pq.write_table(table, path, compression="zstd")
+    pq.write_table(table, path, compression="zstd",
+                   row_group_size=docs_per_row_group)
     return path
 
 

@@ -154,18 +154,27 @@ def _true_range(high, low, close, out):
 def _atr_incremental(tr, p, out, ws, b):
     """C2 — ATR as the reference's *incremental* ring-buffer sum
     (``tr_sum = (tr_sum + tr) - old_tr``), lockstep across the batch so
-    the float rounding matches the oracle exactly."""
+    the float rounding matches the oracle exactly.
+
+    Runs transposed (r6): per-step column touches on (B, T) slabs cost a
+    full cache line per element; copying tr to (T, B) once and writing
+    contiguous rows cuts the loop's DRAM traffic for two transpose
+    passes (same ops, same order — bit-identical)."""
     t = tr.shape[1]
+    trT = ws.view("atrT_tr", t, b)
+    np.copyto(trT, tr.T)
+    outT = ws.view("atrT_out", t, b)
     tr_sum = ws.vec(0, b)
     tr_sum[:] = 0.0
     for i in range(t):
         if i < p:
-            tr_sum += tr[:, i]
-            np.divide(tr_sum, i + 1, out=out[:, i])
+            tr_sum += trT[i]
+            np.divide(tr_sum, i + 1, out=outT[i])
         else:
-            tr_sum += tr[:, i]
-            tr_sum -= tr[:, i - p]
-            np.divide(tr_sum, p, out=out[:, i])
+            tr_sum += trT[i]
+            tr_sum -= trT[i - p]
+            np.divide(tr_sum, p, out=outT[i])
+    np.copyto(out, outT.T)
     return out
 
 

@@ -216,17 +216,25 @@ def _bars_since(event, ws, b, t, out):
 
 
 def _ewm_mean(x, span, out, ws, b):
+    """EWM recurrence, transposed like the Laguerre cascade (r6): the
+    per-step column reads/writes on (B, T) slabs cost a cache line per
+    element; (T, B) layout makes them contiguous for two transpose
+    passes.  Same float ops in the same order — bit-identical."""
     alpha = 2.0 / (span + 1.0)
     t = x.shape[1]
+    xT = ws.view("ewmT_x", t, b)
+    np.copyto(xT, x.T)
+    outT = ws.view("ewmT_o", t, b)
     y = ws.vec(0, b)
     tmp = ws.vec(1, b)
-    np.copyto(y, x[:, 0])
-    out[:, 0] = y
+    np.copyto(y, xT[0])
+    outT[0] = y
     for i in range(1, t):
-        np.multiply(x[:, i], alpha, out=tmp)
+        np.multiply(xT[i], alpha, out=tmp)
         np.multiply(y, 1.0 - alpha, out=y)
         np.add(tmp, y, out=y)
-        out[:, i] = y
+        outT[i] = y
+    np.copyto(out, outT.T)
     return out
 
 
