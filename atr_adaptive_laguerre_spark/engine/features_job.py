@@ -211,35 +211,40 @@ def core_features_long(doc_df: DataFrame,
         doc_df = doc_df.repartition(num_partitions)
 
     def run(batches):
-        import pyarrow.compute as pc
+        def produce(emit, acquire_pool):
+            import pyarrow.compute as pc
 
-        from atr_adaptive_laguerre_spark.kernel.batched import get_out_pool
+            j = 0
+            for rb in batches:
+                src_col = rb.column(rb.schema.get_field_index("source"))
+                did_col = rb.column(rb.schema.get_field_index("doc_id"))
+                for idx, chunk_flat, lens, mat, fe in _arrow_doc_chunks(rb):
+                    pool = acquire_pool(j)
+                    high, low, close = tokens_to_ohlcv_batched(mat)
+                    out = core_loop_batched(high, low, close,
+                                            cfg.atr_period,
+                                            cfg.adaptive_offset,
+                                            copy_out=False)
+                    rep = pa.array(np.repeat(idx.astype(np.int64), lens))
+                    offsets = np.concatenate(
+                        [np.arange(n, dtype=np.int32) for n in lens])
+                    arrays = [
+                        pc.take(src_col, rep),
+                        pc.take(did_col, rep),
+                        pa.array(offsets),
+                        pa.array(chunk_flat.astype(np.int32, copy=False)),
+                    ]
+                    for k in CORE_OUTPUTS:
+                        buf = pool.get(f"core_{k}", len(fe))
+                        np.take(out[k].ravel(), fe, out=buf)
+                        arrays.append(pa.array(buf))
+                    emit(pa.RecordBatch.from_arrays(
+                        arrays,
+                        ["source", "doc_id", "offset", "token"]
+                        + list(CORE_OUTPUTS)))
+                    j += 1
 
-        pool = get_out_pool()
-        for rb in batches:
-            src_col = rb.column(rb.schema.get_field_index("source"))
-            did_col = rb.column(rb.schema.get_field_index("doc_id"))
-            for idx, chunk_flat, lens, mat, fe in _arrow_doc_chunks(rb):
-                high, low, close = tokens_to_ohlcv_batched(mat)
-                out = core_loop_batched(high, low, close, cfg.atr_period,
-                                        cfg.adaptive_offset, copy_out=False)
-                rep = pa.array(np.repeat(idx.astype(np.int64), lens))
-                offsets = np.concatenate(
-                    [np.arange(n, dtype=np.int32) for n in lens])
-                arrays = [
-                    pc.take(src_col, rep),
-                    pc.take(did_col, rep),
-                    pa.array(offsets),
-                    pa.array(chunk_flat.astype(np.int32, copy=False)),
-                ]
-                for k in CORE_OUTPUTS:
-                    buf = pool.get(f"core_{k}", len(fe))
-                    np.take(out[k].ravel(), fe, out=buf)
-                    arrays.append(pa.array(buf))
-                yield pa.RecordBatch.from_arrays(
-                    arrays,
-                    ["source", "doc_id", "offset", "token"]
-                    + list(CORE_OUTPUTS))
+        yield from _overlap_chunks(produce)
 
     return doc_df.mapInArrow(run, schema=CORE_LONG_SCHEMA)
 
@@ -390,6 +395,99 @@ def _flat_explode_idx_local(lengths: np.ndarray, t: int) -> np.ndarray:
     return _flat_explode_idx(lengths, t)
 
 
+_OVERLAP_DONE = object()
+
+
+def _overlap_chunks(produce):
+    """Overlap kernel compute with the worker's socket serialization.
+
+    The Python worker is single-threaded: while it serializes a yielded
+    RecordBatch to the JVM socket, the generator is suspended — so
+    compute time and funnel time ADD.  With the r6 kernel ~2x faster,
+    the 121-column job became funnel-bound (measured at sf1: checksum
+    consumption 8.6 s vs full materialization 15.9 s), and the two
+    phases are each GIL-releasing (NumPy slab ops / Arrow+socket C
+    writes), so running compute on a helper thread overlaps them.
+
+    ``produce(emit, acquire_pool)`` runs on the helper thread; it calls
+    ``acquire_pool(j)`` before computing chunk ``j`` (returns one of the
+    TWO persistent OutPools and, for j >= 2, blocks until chunk j-2 —
+    same pool parity — has been fully serialized) and ``emit(batch)``
+    per finished RecordBatch.  The ack protocol is what makes the
+    zero-copy pooled buffers safe: the worker serializes a yielded
+    batch BEFORE resuming the generator, so the consumer's post-yield
+    ack certifies "this chunk's buffers may be overwritten".  Errors
+    propagate; generator close (task kill) stops the thread promptly.
+    """
+    import queue
+    import threading
+
+    from atr_adaptive_laguerre_spark.kernel.batched import get_out_pool
+
+    out_q: queue.Queue = queue.Queue(maxsize=2)
+    ack_q: queue.Queue = queue.Queue()
+    stop = threading.Event()
+
+    class _Stopped(Exception):
+        pass
+
+    def acquire_pool(j: int):
+        if j >= 2:
+            while True:
+                if stop.is_set():
+                    raise _Stopped
+                try:
+                    ack_q.get(timeout=1.0)
+                    break
+                except queue.Empty:
+                    continue
+        return get_out_pool(j % 2)
+
+    def emit(batch) -> None:
+        while True:
+            if stop.is_set():
+                raise _Stopped
+            try:
+                out_q.put(batch, timeout=1.0)
+                return
+            except queue.Full:
+                continue
+
+    def runner():
+        try:
+            produce(emit, acquire_pool)
+            out_q.put(_OVERLAP_DONE)
+        except _Stopped:
+            pass
+        except BaseException as e:  # noqa: BLE001 — must cross threads
+            try:
+                out_q.put(e, timeout=10.0)
+            except queue.Full:
+                pass
+
+    t = threading.Thread(target=runner, daemon=True,
+                         name="kernel-compute-overlap")
+    t.start()
+    try:
+        while True:
+            item = out_q.get()
+            if item is _OVERLAP_DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item          # worker serializes before next()
+            ack_q.put(1)
+    finally:
+        stop.set()
+        # Block until the producer actually exits: Spark reuses this
+        # worker process for the NEXT task, and a producer still inside
+        # a kernel chunk would race that task's use of the shared
+        # Workspace/_PAD_INT buffers.  Bounded wait: the producer
+        # notices `stop` at its next emit/acquire poll (<= ~1 s past
+        # the current chunk's compute).
+        t.join(timeout=60.0)
+
+
 def features_long(doc_df: DataFrame, cfg: FeatureConfig | None = None,
                   num_partitions: int | None = None,
                   cell_budget: int = CELL_BUDGET,
@@ -429,30 +527,34 @@ def features_long(doc_df: DataFrame, cfg: FeatureConfig | None = None,
               + ", ".join(f"{c} double" for c in feat_cols))
 
     def run(batches):
-        import pyarrow.compute as pc
+        def produce(emit, acquire_pool):
+            import pyarrow.compute as pc
 
-        from atr_adaptive_laguerre_spark.kernel.batched import get_out_pool
+            j = 0
+            for rb in batches:
+                src_col = rb.column(rb.schema.get_field_index("source"))
+                did_col = rb.column(rb.schema.get_field_index("doc_id"))
+                for idx, chunk_flat, lens, mat, _fe in _arrow_doc_chunks(
+                        rb, cell_budget):
+                    pool = acquire_pool(j)
+                    cols = _chunk_feature_cols(mat, lens, cfg, pool=pool)
+                    rep = pa.array(np.repeat(idx.astype(np.int64), lens))
+                    offsets = np.concatenate(
+                        [np.arange(n, dtype=np.int32) for n in lens])
+                    arrays = [
+                        pc.take(src_col, rep),
+                        pc.take(did_col, rep),
+                        pa.array(offsets),
+                        pa.array(chunk_flat.astype(np.int32, copy=False)),
+                    ]
+                    arrays += [pa.array(cols[c]) for c in feat_cols]
+                    emit(pa.RecordBatch.from_arrays(
+                        arrays,
+                        ["source", "doc_id", "offset", "token"]
+                        + feat_cols))
+                    j += 1
 
-        pool = get_out_pool()
-        for rb in batches:
-            src_col = rb.column(rb.schema.get_field_index("source"))
-            did_col = rb.column(rb.schema.get_field_index("doc_id"))
-            for idx, chunk_flat, lens, mat, _fe in _arrow_doc_chunks(
-                    rb, cell_budget):
-                cols = _chunk_feature_cols(mat, lens, cfg, pool=pool)
-                rep = pa.array(np.repeat(idx.astype(np.int64), lens))
-                offsets = np.concatenate(
-                    [np.arange(n, dtype=np.int32) for n in lens])
-                arrays = [
-                    pc.take(src_col, rep),
-                    pc.take(did_col, rep),
-                    pa.array(offsets),
-                    pa.array(chunk_flat.astype(np.int32, copy=False)),
-                ]
-                arrays += [pa.array(cols[c]) for c in feat_cols]
-                yield pa.RecordBatch.from_arrays(
-                    arrays,
-                    ["source", "doc_id", "offset", "token"] + feat_cols)
+        yield from _overlap_chunks(produce)
 
     return doc_df.mapInArrow(run, schema=schema)
 

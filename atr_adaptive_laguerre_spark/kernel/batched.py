@@ -111,14 +111,20 @@ class OutPool:
         return buf[:n]
 
 
-_OUT_POOL: OutPool | None = None
+_OUT_POOLS: dict[int, OutPool] = {}
 
 
-def get_out_pool() -> OutPool:
-    global _OUT_POOL
-    if _OUT_POOL is None:
-        _OUT_POOL = OutPool()
-    return _OUT_POOL
+def get_out_pool(which: int = 0) -> OutPool:
+    """Persistent per-process output pool.  ``which`` selects one of a
+    small set of independent pools — the pipelined mapInArrow paths
+    (r6) double-buffer chunk outputs across two pools so the producer
+    thread can compute chunk k+2 while the worker thread is still
+    serializing chunk k's zero-copy buffers (see
+    ``features_job._overlap_chunks``)."""
+    pool = _OUT_POOLS.get(which)
+    if pool is None:
+        pool = _OUT_POOLS[which] = OutPool()
+    return pool
 
 
 def pad_sequences(seqs: list[np.ndarray], dtype=np.float64
@@ -156,25 +162,23 @@ def _atr_incremental(tr, p, out, ws, b):
     (``tr_sum = (tr_sum + tr) - old_tr``), lockstep across the batch so
     the float rounding matches the oracle exactly.
 
-    Runs transposed (r6): per-step column touches on (B, T) slabs cost a
-    full cache line per element; copying tr to (T, B) once and writing
-    contiguous rows cuts the loop's DRAM traffic for two transpose
-    passes (same ops, same order — bit-identical)."""
+    Stays COLUMN-ORIENTED (r6 note): only 3 column touches per step, so
+    the live cache-line set is ~3·B·64 B ≈ 80 KB — L2-resident, and the
+    adjacent-column writes reuse the same lines.  A transposed variant
+    was measured 44% SLOWER (the two transpose passes cost more than the
+    cached column writes); contrast `_laguerre_cascade`, whose 6-slab
+    16-op step profits from the (T, B) layout."""
     t = tr.shape[1]
-    trT = ws.view("atrT_tr", t, b)
-    np.copyto(trT, tr.T)
-    outT = ws.view("atrT_out", t, b)
     tr_sum = ws.vec(0, b)
     tr_sum[:] = 0.0
     for i in range(t):
         if i < p:
-            tr_sum += trT[i]
-            np.divide(tr_sum, i + 1, out=outT[i])
+            tr_sum += tr[:, i]
+            np.divide(tr_sum, i + 1, out=out[:, i])
         else:
-            tr_sum += trT[i]
-            tr_sum -= trT[i - p]
-            np.divide(tr_sum, p, out=outT[i])
-    np.copyto(out, outT.T)
+            tr_sum += tr[:, i]
+            tr_sum -= tr[:, i - p]
+            np.divide(tr_sum, p, out=out[:, i])
     return out
 
 

@@ -322,3 +322,49 @@ def test_null_tokens_fail_loud(spark):
         features_long(df, CFG43).toPandas()
     with pytest.raises(Exception, match="null tokens array.*badnull"):
         core_features_long(df, FeatureConfig(atr_period=14)).toPandas()
+
+
+def test_overlapped_kernel_paths_survive_partial_consumption(spark, tmp_path):
+    """r6: features_long/core_features_long run the kernel on a helper
+    thread overlapping the worker's socket serialization
+    (features_job._overlap_chunks).  Contract under test: (1) values
+    identical across repeated full passes (the double-buffered OutPool
+    ack protocol never lets a pooled buffer be overwritten before its
+    batch is serialized), (2) an abandoned generator (limit/early
+    termination) neither hangs nor corrupts a SUBSEQUENT full pass in
+    the same session (producer joined before the worker is reused)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from atr_adaptive_laguerre_spark.config import FeatureConfig
+    from atr_adaptive_laguerre_spark.data.corpus import write_corpus_parquet
+    from atr_adaptive_laguerre_spark.engine.features_job import (
+        core_features_long, features_long,
+    )
+
+    p = os.path.join(str(tmp_path), "c.parquet")
+    write_corpus_parquet(p, n_docs=200, seed=13)
+    df = spark.read.parquet(p)
+    cfg = FeatureConfig.multi_interval(multiplier_1=3, multiplier_2=12,
+                                       atr_period=14)
+
+    # partial consumption first — exercises the stop/join teardown
+    assert len(features_long(df, cfg, num_partitions=4)
+               .limit(5).collect()) == 5
+    assert len(core_features_long(df, num_partitions=4)
+               .limit(7).collect()) == 7
+
+    def chk(d, col):
+        r = d.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(col).alias("s")).collect()[0]
+        return r["n"], r["s"]
+
+    a = chk(features_long(df, cfg, num_partitions=4),
+            "rsi_percentile_20_base")
+    b = chk(features_long(df, cfg, num_partitions=4),
+            "rsi_percentile_20_base")
+    assert a == b and a[0] > 0
+    ca = chk(core_features_long(df, num_partitions=4), "rsi")
+    cb = chk(core_features_long(df, num_partitions=4), "rsi")
+    assert ca == cb and ca[0] == a[0]
