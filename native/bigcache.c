@@ -86,6 +86,13 @@ static void bc_init(void)
     void *p = mmap(NULL, reserve, PROT_READ | PROT_WRITE,
                    MAP_PRIVATE | MAP_ANONYMOUS | MAP_NORESERVE, -1, 0);
     if (p == MAP_FAILED) { g_disabled = 1; return; }
+    /* With THP in madvise mode (this host's default), hinting the
+       region makes first touches fault 2 MiB at a time instead of
+       4 KiB — ~512x fewer faults while the freelists warm up.
+       BIGCACHE_THP=0 opts out (e.g. if compaction stalls appear). */
+    const char *thp = getenv("BIGCACHE_THP");
+    if (!(thp && thp[0] == '0'))
+        (void)madvise(p, reserve, MADV_HUGEPAGE);
     g_base = p;
     g_top = p;
     g_end = g_base + reserve;
